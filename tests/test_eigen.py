@@ -1,0 +1,62 @@
+"""End-to-end eigen solves vs reference goldens (npoints=32 for speed; the
+full canonical cases run in bench/validation scripts)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from emme_tpu import from_config
+from emme_tpu.grid import Grid
+from emme_tpu.ops.singularity import singularity_coeff_matrix
+from emme_tpu.solvers import eigen
+
+
+def _vec_corr(a, b):
+    return abs(np.vdot(a, b)) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+
+def test_singularity_matrix_matches_reference(goldens_dir):
+    # Embedded in the golden assembled matrices implicitly; direct structural
+    # checks here (src/singularity_handler.cpp:3-24).
+    C = np.asarray(singularity_coeff_matrix(8))
+    assert C[0, 0] == pytest.approx(0.0 - 0.5)
+    assert C[2, 3] == pytest.approx(2.951388888888883)
+    assert C[2, 7] == pytest.approx(1.159722222222284 - 0.5)
+    assert C[0, 6] == pytest.approx(1.0)  # |i-j| = 6 > 5 band
+
+
+def test_assembled_matrix_tok32(goldens_dir, tokamak_cfg):
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    grid = Grid.create(p.length, p.npoints)
+    coeff = singularity_coeff_matrix(p.npoints)
+    M = np.asarray(eigen.assemble_matrix(p, grid, coeff, jnp.complex128(-0.8 + 0.25j)))
+    ref = np.fromfile(goldens_dir / "matrix_tok32_guess.bin",
+                      dtype=np.complex128).reshape(32, 32)
+    scale = np.abs(ref).max()
+    # A handful of far-separated entries differ by up to ~8e-6*scale; scipy
+    # adaptive quadrature confirms OUR values there (the reference's adaptive
+    # G-K accepted under-resolved panels for those tiny entries).
+    assert np.abs(M - ref).max() < 2e-5 * scale
+    assert np.median(np.abs(M - ref)) < 1e-9 * scale
+
+
+def test_eigen_solve_tok32(goldens_dir, tokamak_cfg, golden_eigenvalues):
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    om, vec, nsteps, _ = eigen.solve(p, -0.8 + 0.25j, tol=1e-6)
+    ref = complex(*golden_eigenvalues["tok32"]["omega"])
+    assert abs(om - ref) / abs(ref) < 2e-6
+    gv = np.fromfile(goldens_dir / "eigenvector_tok32.bin", dtype=np.complex128)
+    assert _vec_corr(gv, np.asarray(vec)) > 1 - 1e-7
+
+
+@pytest.mark.slow
+def test_eigen_solve_stel32(goldens_dir, stellarator_cfg, golden_eigenvalues):
+    cfg = dict(stellarator_cfg, npoints=32)
+    p = from_config(cfg)
+    assert p.electromagnetic
+    om, vec, nsteps, _ = eigen.solve(p, -1.656 + 2.490j, tol=1e-6)
+    ref = complex(*golden_eigenvalues["stel32"]["omega"])
+    assert abs(om - ref) / abs(ref) < 5e-5
+    gv = np.fromfile(goldens_dir / "eigenvector_stel32.bin", dtype=np.complex128)
+    assert _vec_corr(gv, np.asarray(vec)) > 1 - 1e-5
