@@ -1,0 +1,50 @@
+"""Command-line driver: ``python -m emme_tpu.cli [input.json]``.
+
+Unlike the reference's hard-coded ``input.json`` in the cwd (main.cpp:183),
+the input path, output directory, compute device, and dtype are selectable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="emme_tpu",
+        description="TPU-native gyrokinetic eigensolver (EMME-compatible inputs)")
+    ap.add_argument("input", nargs="?", default="input.json",
+                    help="input JSON file (default: input.json)")
+    ap.add_argument("-o", "--output-dir", default=".",
+                    help="directory for output.json and eigenMatrics/")
+    ap.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto",
+                    help="compute platform (default: auto)")
+    ap.add_argument("--f32", action="store_true",
+                    help="single precision (complex64) -- the fast TPU path")
+    ap.add_argument("--no-checkpoint", action="store_true",
+                    help="disable scan checkpoint/resume")
+    ap.add_argument("--chunk", type=int, default=2048,
+                    help="assembly pair-chunk size")
+    ap.add_argument("-q", "--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    elif args.device == "tpu":
+        jax.config.update("jax_platforms", "tpu,cpu")
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from . import driver
+    dtype = jnp.float32 if args.f32 else jnp.float64
+    driver.run(args.input, output_dir=args.output_dir, dtype=dtype,
+               checkpoint=not args.no_checkpoint, verbose=not args.quiet,
+               chunk=args.chunk)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,250 @@
+"""Parameter-scan driver: the framework's equivalent of the reference's
+``main()`` (``src/main.cpp:182-338``).
+
+Any top-level input value of the form ``{"head": h, "step": s, "tail": t}``
+(or ``"tail": [t_l, t_r]``) declares a scan dimension (main.cpp:225-242).
+The bidirectional scan generator walks head -> tail, then restarts toward the
+other tail (main.cpp:139-172), carrying eigenvalue continuation: each point
+seeds the next with its converged omega; on direction flip the omega re-seeds
+from the first result; failures record ``{"eigenvalue": "NaN", "reason"}``
+and the scan continues (main.cpp:262-324).
+
+Additions over the reference: checkpoint/resume of completed scan points, a
+selectable output directory, and structured per-point timing.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import pathlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import params as params_mod
+from .solvers import eigen, pic
+from .utils import provenance
+from .utils.timer import Timer, section
+
+
+def _is_scan_spec(v) -> bool:
+    return isinstance(v, dict) and "head" in v and "step" in v and "tail" in v
+
+
+def scan_values(spec) -> tuple[list[float], list[bool]]:
+    """Materialize the reference's bidirectional scan walk
+    (main.cpp:139-172, 225-242).  Returns (values, turning_flags)."""
+    head = float(spec["head"])
+    step = float(spec["step"])
+    tail = spec["tail"]
+    if isinstance(tail, list):
+        left_tail, right_tail = float(tail[0]), float(tail[1])
+    else:
+        left_tail = float(tail)
+        right_tail = head + 0.5 * math.copysign(step, head - left_tail)
+
+    values, turning = [], []
+
+    def within(cur, cur_tail):
+        # the reference's 0.01*|step| slack absorbs float error (main.cpp:151)
+        return abs(cur - head) <= abs(cur_tail - head) + 0.01 * abs(step)
+
+    cur, cur_tail = head, left_tail
+    first = True
+    flipped = False
+    while True:
+        if not first:
+            cur += math.copysign(step, cur_tail - head)
+        first = False
+        if within(cur, cur_tail):
+            values.append(cur)
+            turning.append(False)
+        else:
+            if flipped:
+                break
+            flipped = True
+            cur_tail = right_tail
+            cur = head + math.copysign(step, cur_tail - head)
+            if not within(cur, cur_tail):
+                break
+            values.append(cur)
+            turning.append(True)
+    return values, turning
+
+
+def filter_input(cfg: dict) -> dict:
+    """Replace scan specs by their head value (main.cpp:174-180)."""
+    out = dict(cfg)
+    for k, v in out.items():
+        if _is_scan_spec(v):
+            out[k] = v["head"]
+    return out
+
+
+def _typed_array(vec) -> list:
+    """Complex vector -> [[re, im], ...] matching the reference's typed-array
+    output extension (JsonParser.h:260-278)."""
+    v = np.asarray(vec)
+    return [[float(x.real), float(x.imag)] for x in v]
+
+
+def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
+                     dtype=jnp.float64, quad=None, chunk: int = 2048) -> dict:
+    """One eigen-method solve (main.cpp:19-80).  Returns the single-result
+    object and the converged omega for continuation."""
+    timer = Timer.get_timer()
+    p = params_mod.from_config(cfg, dtype=dtype)
+    tol = float(cfg.get("iteration_precision", 1e-6))
+
+    with section("Iteration"):
+        omega, vec, n_steps, state = eigen.solve(
+            p, omega_guess, tol=tol, quad=quad, chunk=chunk)
+
+    with section("Output"):
+        if matrix_file is not None:
+            np.asarray(state.M).astype(np.complex128).tofile(matrix_file)
+
+    result = {
+        "eigenvalue": [omega.real, omega.imag],
+        "eigenvector": _typed_array(vec),
+        "iteration_steps": n_steps,
+    }
+    return result, omega
+
+
+def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
+                   dtype=jnp.float64, seed: int = 0, **_) -> dict:
+    """One PIC-method solve (main.cpp:82-137)."""
+    p = params_mod.from_config(cfg, dtype=dtype)
+    mpc = int(cfg["marker_per_cell"])
+    nt = int(cfg["step_number"])
+    dt = float(cfg["time_step"])
+
+    with section("PIC run"):
+        stats, state, fields = pic.run(
+            p, mpc, nt, dt, key=jax.random.PRNGKey(seed),
+            record_fields=matrix_file is not None)
+
+    if matrix_file is not None:
+        np.asarray(fields).astype(np.complex128).tofile(matrix_file)
+
+    omega = pic.calculate_omega(np.asarray(stats), dt)
+    result = {
+        "eigenvalue": [omega.real, omega.imag],
+        "eigenvector": _typed_array(np.asarray(state.field)),
+    }
+    return result, omega_guess  # PIC does not update the continuation seed
+
+
+_SOLVERS = {"eigen": solve_once_eigen, "PIC": solve_once_pic}
+
+
+def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
+        dtype=jnp.float64, checkpoint: bool = True, verbose: bool = True,
+        quad=None, chunk: int = 2048) -> dict:
+    """Execute the full (possibly scanning) job; writes output.json and
+    binary matrix dumps under ``output_dir``; returns the result object."""
+    if not isinstance(input_cfg, dict):
+        with open(input_cfg) as f:
+            input_cfg = json.load(f)
+
+    outdir = pathlib.Path(output_dir)
+    (outdir / "eigenMatrics").mkdir(parents=True, exist_ok=True)
+    ckpt_path = outdir / "checkpoint.json"
+
+    method = input_cfg.get("method")
+    if method not in _SOLVERS:
+        raise ValueError(f"Method '{method}' is not supported, yet.")
+    solver = _SOLVERS[method]
+
+    timer = Timer.get_timer()
+    timer.start_timing("All")
+
+    guess = complex(input_cfg["initial_guess"][0], input_cfg["initial_guess"][1]) \
+        if "initial_guess" in input_cfg else 0j
+
+    result = {
+        "input": input_cfg,
+        "git_commit_hash": provenance.git_commit_hash(),
+        "run_time": provenance.date_string(),
+        "framework": "emme_tpu",
+        "result": {},
+    }
+
+    done = {}
+    if checkpoint and ckpt_path.exists():
+        with open(ckpt_path) as f:
+            done = json.load(f)
+
+    scan_config = {k: v for k, v in input_cfg.items() if _is_scan_spec(v)}
+
+    def record_ckpt():
+        if checkpoint:
+            with open(ckpt_path, "w") as f:
+                json.dump(done, f)
+
+    if not scan_config:
+        unit = {"scan_key": "(None)", "scan_result": []}
+        mfile = outdir / "eigenMatrics" / "eigenMatrix.bin"
+        res, _ = solver(input_cfg, guess, matrix_file=mfile, dtype=dtype,
+                        quad=quad, chunk=chunk)
+        unit["scan_result"].append(res)
+        result["result"]["(None)"] = unit
+    else:
+        for key, spec in scan_config.items():
+            cfg = filter_input(input_cfg)
+            values, turnings = scan_values(spec)
+            unit = {"scan_key": key, "scan_values": [], "scan_result": []}
+            omega = guess
+            if verbose:
+                print(f"\nScanning {key}")
+            for value, turning in zip(values, turnings):
+                cfg[key] = value
+                unit["scan_values"].append(value)
+                if turning:
+                    first = unit["scan_result"][0] if unit["scan_result"] else None
+                    if first and isinstance(first.get("eigenvalue"), list):
+                        omega = complex(*first["eigenvalue"])
+                    else:
+                        omega = guess
+                if verbose:
+                    print(f"    {key}:{value}")
+                ck = f"{key}={value!r}"
+                mfile = outdir / "eigenMatrics" / f"{key}Eq{value:.6f}.bin"
+                if ck in done:
+                    unit["scan_result"].append(done[ck])
+                    ev = done[ck].get("eigenvalue")
+                    if isinstance(ev, list):
+                        omega = complex(*ev)
+                    continue
+                try:
+                    res, omega = solver(cfg, omega, matrix_file=mfile,
+                                        dtype=dtype, quad=quad, chunk=chunk)
+                    res["eigenMatrix"] = str(mfile)
+                    res["scan_value"] = value
+                    if verbose:
+                        print(f"        eigenvalue: {res['eigenvalue']}")
+                except Exception as e:  # scan-level fault tolerance
+                    res = {"eigenvalue": "NaN", "reason": str(e)}
+                    omega = guess
+                    if verbose:
+                        print(f"        {e}")
+                unit["scan_result"].append(res)
+                done[ck] = res
+                record_ckpt()
+            result["result"][key] = unit
+
+    timer.start_timing("Output")
+    with open(outdir / "output.json", "w") as f:
+        json.dump(result, f, indent=1)
+    timer.pause_timing("Output")
+    timer.pause_timing("All")
+    if verbose:
+        print()
+        timer.print()
+    if checkpoint and ckpt_path.exists():
+        ckpt_path.unlink()  # completed cleanly
+    return result

