@@ -1,0 +1,74 @@
+"""Benchmark: time-to-converged-eigenpair, canonical tokamak case (n=1024).
+
+Runs the full Newton-trace-secant eigensolve (init + iterations to the
+reference convergence criterion + nullspace extraction) on the available
+accelerator (TPU f32/c64; CPU f64 fallback) and reports wall-clock excluding
+one-time compilation (the persistent compile cache under .jax_cache makes
+compiles one-time per machine).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+
+Baseline: the C++ reference (2 hardware threads on this host) measured on the
+same input -- see tests/goldens/eigenvalues.json: solve wall ~718 s.
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).parent
+sys.path.insert(0, str(REPO))
+
+# Reference C++ wall-clock for the same solve on this host (2-core CPU):
+# measured via .refbuild/emme_ref on golden_tok1024 (eigen method, 5 Newton
+# steps + SVD): All=674.72s (initial 175.2, Iteration 485.1, SVD 12.0).
+REF_SECONDS = 674.7
+GOLDEN = complex(-0.83238057408053912, 0.2565467084687576)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+
+    from emme_tpu import from_config
+    from emme_tpu.solvers import eigen
+    from emme_tpu.utils.transfer import fetch
+
+    with open(REPO / "tests" / "goldens" / "inputs" / "tokamak.json") as f:
+        cfg = json.load(f)
+    cfg["npoints"] = 1024
+    p = from_config(cfg, dtype=dtype)
+
+    # Warm-up solve triggers all compilation (cached persistently).
+    print("warm-up (compilation)...", file=sys.stderr, flush=True)
+    eigen.solve(p, -0.8 + 0.25j, tol=1e-5)
+
+    # Timed: full solve = init (2 assemblies) + iterations + nullspace.
+    t0 = time.time()
+    om, vec, nsteps, _ = eigen.solve(p, -0.8 + 0.25j, tol=1e-5)
+    elapsed = time.time() - t0
+
+    rel_err = abs(om - GOLDEN) / abs(GOLDEN)
+    print(f"eigenvalue {om} steps {nsteps} rel_err_vs_reference {rel_err:.3g}",
+          file=sys.stderr, flush=True)
+    assert rel_err < 5e-4, f"accuracy regression: {rel_err}"
+
+    print(json.dumps({
+        "metric": "time_to_converged_eigenpair_tokamak_n1024",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(REF_SECONDS / elapsed, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

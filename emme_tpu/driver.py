@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from . import params as params_mod
 from .solvers import eigen, pic
 from .utils import provenance
+from .utils.transfer import fetch
 from .utils.timer import Timer, section
 
 
@@ -87,7 +88,7 @@ def filter_input(cfg: dict) -> dict:
 def _typed_array(vec) -> list:
     """Complex vector -> [[re, im], ...] matching the reference's typed-array
     output extension (JsonParser.h:260-278)."""
-    v = np.asarray(vec)
+    v = fetch(vec)
     return [[float(x.real), float(x.imag)] for x in v]
 
 
@@ -105,7 +106,7 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
 
     with section("Output"):
         if matrix_file is not None:
-            np.asarray(state.M).astype(np.complex128).tofile(matrix_file)
+            fetch(state.M).astype(np.complex128).tofile(matrix_file)
 
     result = {
         "eigenvalue": [omega.real, omega.imag],
@@ -129,12 +130,12 @@ def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
             record_fields=matrix_file is not None)
 
     if matrix_file is not None:
-        np.asarray(fields).astype(np.complex128).tofile(matrix_file)
+        fetch(fields).astype(np.complex128).tofile(matrix_file)
 
     omega = pic.calculate_omega(np.asarray(stats), dt)
     result = {
         "eigenvalue": [omega.real, omega.imag],
-        "eigenvector": _typed_array(np.asarray(state.field)),
+        "eigenvector": _typed_array(state.field),
     }
     return result, omega_guess  # PIC does not update the continuation seed
 

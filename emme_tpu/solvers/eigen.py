@@ -30,12 +30,30 @@ import jax.numpy as jnp
 
 from ..grid import Grid
 from ..ops import kernels
+from ..ops import linalg
 from ..ops.singularity import singularity_coeff_matrix
 
 
 def _pair_indices(n: int):
     iu, ju = np.triu_indices(n, k=1)
     return iu, ju
+
+
+def _gather_maps(n: int):
+    """Static index map (n, n) -> [0, npairs + n): upper-triangle pairs for
+    both (i,j) and (j,i), diagonal slots appended after the pairs.  Used to
+    materialize symmetric/antisymmetric matrices from per-pair values by a
+    single GATHER (TPU scatters for complex dtypes are unimplemented on the
+    current backend, and gathers are faster anyway)."""
+    iu, ju = _pair_indices(n)
+    idx = np.zeros((n, n), np.int32)
+    k = np.arange(len(iu), dtype=np.int32)
+    idx[iu, ju] = k
+    idx[ju, iu] = k
+    di = np.arange(n)
+    idx[di, di] = len(iu) + di
+    sign = np.sign(np.arange(n)[None, :] - np.arange(n)[:, None]).astype(np.int8)
+    return idx, sign
 
 
 def _chunked(fn, args, n_items: int, chunk: int):
@@ -78,39 +96,61 @@ def assemble_matrix(p, grid: Grid, coeff, omega, quad=None, chunk: int = 2048):
         return vals
 
     vals = _chunked(compute, (eta_a, eta_b), len(iu), chunk)
+    return _materialize_from_pairs(p, grid, coeff, vals, (eta_a, eta_b),
+                                   (iu, ju), omega)
 
-    diag_val = (1.0 + 1.0 / p.tau).astype(cdtype)
+
+def _materialize_from_pairs(p, grid: Grid, coeff, vals, etas, pairs, omega):
+    """Build the dense operator from per-pair kernel values (shared by the
+    single-device and mesh-sharded assembly paths)."""
+    n = grid.npoints
+    dx = grid.dx
+    eta_a, eta_b = etas
+    iu, ju = pairs
+    cdtype = jnp.complex128 if grid.eta.dtype == jnp.float64 else jnp.complex64
+
+    idx_map, sign = _gather_maps(n)
+    idx_map = jnp.asarray(idx_map)
+    rdtype = grid.eta.dtype
+
+    def planes(entries_c, diag_c, signed=False):
+        # All gathers/concats run on REAL planes: the TPU backend implements
+        # complex dtypes only for elementwise compute (no gather/scatter/
+        # transfer), so complex arrays are (re, im) pairs at memory-op
+        # boundaries and recombined elementwise at the very end.
+        out = []
+        for part in (jnp.real, jnp.imag):
+            plane = jnp.concatenate(
+                [part(entries_c).astype(rdtype), part(diag_c).astype(rdtype)])
+            g = plane[idx_map]
+            if signed:
+                g = g * jnp.asarray(sign, rdtype)
+            out.append(g)
+        return out
+
+    diag_a = jnp.full(n, 1.0 + 1.0 / p.tau, cdtype)
 
     if not p.electromagnetic:
         k0 = vals[0]  # kappa_e(0) == 0 (Parameters.cpp:193-194)
-        entries = -k0 * coeff[iu, ju] * dx
-        M = jnp.zeros((n, n), cdtype)
-        M = M.at[iu, ju].set(entries)
-        M = M + M.T
-        M = M.at[jnp.arange(n), jnp.arange(n)].set(diag_val)
-        return M
+        mr, mi = planes(-k0 * coeff[iu, ju] * dx, diag_a)
+        return mr + 1j * mi
 
     k0, k1, k2 = vals
     k1 = k1 + kernels.kappa_f_tau_e(p, eta_a, eta_b, omega, 1)
     k2 = k2 + kernels.kappa_f_tau_e(p, eta_a, eta_b, omega, 2)
 
-    a_entries = -k0 * coeff[iu, ju] * dx
-    u_entries = k1 * dx
-    d_entries = k2 * dx
+    A = planes(-k0 * coeff[iu, ju] * dx, diag_a)
+    # U antisymmetric with zero diagonal (solver.h:480-504): sign flips the
+    # mirrored lower triangle and zeroes the diagonal.
+    U = planes(k1 * dx, jnp.zeros(n, cdtype), signed=True)
+    D = planes(k2 * dx, (2.0 * p.tau) / p.beta_e * p.bi(grid.eta)
+               + 0j * p.tau)
 
-    A = jnp.zeros((n, n), cdtype).at[iu, ju].set(a_entries)
-    A = A + A.T
-    A = A.at[jnp.arange(n), jnp.arange(n)].set(diag_val)
-
-    U = jnp.zeros((n, n), cdtype).at[iu, ju].set(u_entries)
-    U = U - U.T  # antisymmetric, zero diagonal (solver.h:480-504)
-
-    D = jnp.zeros((n, n), cdtype).at[iu, ju].set(d_entries)
-    D = D + D.T
-    D = D.at[jnp.arange(n), jnp.arange(n)].set(
-        ((2.0 * p.tau) / p.beta_e * p.bi(grid.eta)).astype(cdtype))
-
-    return jnp.block([[A, U], [U.T, D]])
+    mr, mi = (jnp.concatenate([
+        jnp.concatenate([X[c], Y[c]], axis=1),
+        jnp.concatenate([Y[c].T, Z[c]], axis=1)], axis=0)
+        for c, (X, Y, Z) in ((0, (A, U, D)), (1, (A, U, D))))
+    return mr + 1j * mi
 
 
 @dataclass
@@ -140,18 +180,30 @@ def init_state(p, grid, coeff, omega_init, quad=None, chunk: int = 2048):
 def newton_trace_step(p, grid, coeff, state: EigenState, quad=None,
                       chunk: int = 2048) -> EigenState:
     """One Newton-trace-secant iteration (solver.h:113-160)."""
-    X = jnp.linalg.solve(state.M, state.dM)
-    d_omega = -1.0 / jnp.trace(X)
+    d_omega = -1.0 / linalg.complex_solve_trace(state.M, state.dM)
     omega = state.omega + d_omega
     M_new = assemble_matrix(p, grid, coeff, omega, quad, chunk)
     dM = (M_new - state.M) / d_omega
     return EigenState(omega=omega, d_omega=d_omega, M=M_new, dM=dM)
 
 
+@jax.jit
 def null_space(M):
     """Conjugated last right-singular vector (solver.h:58-112)."""
-    _, _, vh = jnp.linalg.svd(M)
-    return jnp.conj(vh[-1, :])
+    return linalg.null_space_vector(M)
+
+
+@jax.jit
+def _split_ri(x):
+    return jnp.real(x), jnp.imag(x)
+
+
+def fetch_complex(x) -> complex:
+    """Device->host transfer of a complex scalar via real planes (direct
+    complex transfers -- and even eager complex ops -- are unimplemented on
+    the TPU backend, hence the jitted splitter)."""
+    re, im = _split_ri(x)
+    return complex(float(re), float(im))
 
 
 def solve(p, omega_init, tol: float | None = None, quad=None,
@@ -169,15 +221,20 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
 
     step = jax.jit(partial(newton_trace_step, quad=quad, chunk=chunk),
                    static_argnames=())
-    state = init_state(p, grid, coeff, jnp.asarray(omega_init, cdtype),
-                       quad, chunk)
+    # complex host->device transfers are unsupported on TPU: ship (re, im)
+    # floats and combine on device.
+    init = jax.jit(lambda p, g, c, re, im: init_state(
+        p, g, c, (re + 1j * im).astype(cdtype), quad, chunk))
+    omega_init = complex(omega_init)
+    state = init(p, grid, coeff, jnp.asarray(omega_init.real, dtype),
+                 jnp.asarray(omega_init.imag, dtype))
     n_steps = 0
     for j in range(p.iteration_step_limit + 1):
         state = step(p, grid, coeff, state)
         n_steps = j + 1
         if callback is not None:
             callback(j, state)
-        if abs(complex(state.d_omega)) < tol * abs(complex(state.omega)):
+        if abs(fetch_complex(state.d_omega)) < tol * abs(fetch_complex(state.omega)):
             break
     vec = null_space(state.M)
-    return complex(state.omega), vec, n_steps, state
+    return fetch_complex(state.omega), vec, n_steps, state
