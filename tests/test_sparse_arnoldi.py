@@ -1,0 +1,102 @@
+"""BSR operator + Pallas SpMV (interpret mode on CPU) and shift-invert
+Arnoldi."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from emme_tpu import from_config
+from emme_tpu.ops import sparse
+from emme_tpu.solvers import arnoldi
+
+
+@pytest.fixture(scope="module")
+def banded_matrix():
+    rng = np.random.default_rng(0)
+    n = 512
+    M = rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))
+    i = np.arange(n)
+    M *= np.exp(-np.abs(i[:, None] - i[None, :]) / 40.0)
+    return M
+
+
+def _dense_from_op(op, M):
+    bs = op.block
+    Md = np.zeros_like(M)
+    ro, ci = np.asarray(op.row_of), np.asarray(op.col_idx)
+    for k in range(op.nnzb):
+        Md[ro[k]*bs:(ro[k]+1)*bs, ci[k]*bs:(ci[k]+1)*bs] = \
+            M[ro[k]*bs:(ro[k]+1)*bs, ci[k]*bs:(ci[k]+1)*bs]
+    return Md
+
+
+def test_bsr_threshold_drops_far_blocks(banded_matrix):
+    op = sparse.bsr_from_dense(banded_matrix, block=128, threshold=1e-2)
+    assert op.nnzb < (512 // 128) ** 2
+    # diagonal blocks always kept
+    ro, ci = np.asarray(op.row_of), np.asarray(op.col_idx)
+    assert set(zip(ro[ro == ci], ci[ro == ci])) == {(i, i) for i in range(4)}
+
+
+@pytest.mark.parametrize("nrhs", [None, 4])
+def test_bsr_matvec_pallas_matches_dense(banded_matrix, nrhs):
+    M = banded_matrix
+    n = M.shape[0]
+    op = sparse.bsr_from_dense(M, block=128, threshold=1e-3)
+    Md = _dense_from_op(op, M)
+    rng = np.random.default_rng(1)
+    shape = (n,) if nrhs is None else (n, nrhs)
+    x = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+    yr, yi = sparse.bsr_matvec_pallas(op, jnp.asarray(x.real),
+                                      jnp.asarray(x.imag))
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.abs(y - Md @ x).max() < 1e-10
+
+
+def test_bsr_ref_matches_pallas(banded_matrix):
+    op = sparse.bsr_from_dense(banded_matrix, block=128, threshold=1e-3)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=512)
+    xi = rng.normal(size=512)
+    r1 = sparse.bsr_matvec_ref(op, jnp.asarray(x), jnp.asarray(xi))
+    r2 = sparse.bsr_matvec_pallas(op, jnp.asarray(x), jnp.asarray(xi))
+    for a, b in zip(r1, r2):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-10
+
+
+class TestArnoldi:
+    def test_arnoldi_plus_polish_matches_golden(self, tokamak_cfg,
+                                                golden_eigenvalues):
+        cfg = dict(tokamak_cfg, npoints=32)
+        p = from_config(cfg)
+        om, vec, steps = arnoldi.solve(p, sigma=-0.8 + 0.25j, m_krylov=24,
+                                       newton_polish=6)
+        ref = complex(*golden_eigenvalues["tok32"]["omega"])
+        assert abs(om - ref) / abs(ref) < 2e-6
+
+    def test_raw_estimate_in_neighbourhood(self, tokamak_cfg,
+                                           golden_eigenvalues):
+        cfg = dict(tokamak_cfg, npoints=32)
+        p = from_config(cfg)
+        om, _, _ = arnoldi.solve(p, sigma=-0.6 + 0.28j, m_krylov=24,
+                                 newton_polish=0)
+        ref = complex(*golden_eigenvalues["tok32"]["omega"])
+        assert abs(om - ref) < 0.15  # linearized estimate, no polish
+
+    def test_multi_shift_batched(self, tokamak_cfg, golden_eigenvalues):
+        cfg = dict(tokamak_cfg, npoints=32)
+        p = from_config(cfg)
+        sigmas = np.array([-0.7 + 0.3j, -0.5 + 0.25j])
+        ests = arnoldi.solve_shifts_batched(p, sigmas, m_krylov=24)
+        ref = complex(*golden_eigenvalues["tok32"]["omega"])
+        assert all(abs(e - ref) < 0.2 for e in ests)
+
+    def test_multi_shift_sharded_over_scan_axis(self, tokamak_cfg):
+        from emme_tpu.parallel import mesh as mesh_mod
+        cfg = dict(tokamak_cfg, npoints=16)
+        p = from_config(cfg)
+        m = mesh_mod.make_mesh(n_rows=2, n_scan=4)
+        sigmas = np.array([-0.7 + 0.3j, -0.6 + 0.25j, -0.8 + 0.2j,
+                           -0.5 + 0.3j])
+        ests = arnoldi.solve_shifts_batched(p, sigmas, m_krylov=12, mesh=m)
+        assert np.isfinite(ests).all()
