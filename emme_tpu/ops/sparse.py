@@ -124,13 +124,17 @@ def _spmv_kernel(row_of_ref, col_idx_ref, data_ref, x_ref, y_ref):
 
     ar = data_ref[0, 0]
     ai = data_ref[0, 1]
-    xr = x_ref[0, 0]
+    xr = x_ref[0, 0]   # (r, bs): rhs lives in sublanes, block cols in lanes
     xi = x_ref[0, 1]
     acc = y_ref.dtype
-    y_ref[0, 0, :, :] += (jnp.dot(ar, xr, preferred_element_type=acc)
-                          - jnp.dot(ai, xi, preferred_element_type=acc))
-    y_ref[0, 1, :, :] += (jnp.dot(ar, xi, preferred_element_type=acc)
-                          + jnp.dot(ai, xr, preferred_element_type=acc))
+    # y(r, bs_row) += x(r, bs_col) . A^T -- contract over block columns.
+    dn = (((1,), (1,)), ((), ()))
+    y_ref[0, 0, :, :] += (
+        jax.lax.dot_general(xr, ar, dn, preferred_element_type=acc)
+        - jax.lax.dot_general(xi, ai, dn, preferred_element_type=acc))
+    y_ref[0, 1, :, :] += (
+        jax.lax.dot_general(xi, ar, dn, preferred_element_type=acc)
+        + jax.lax.dot_general(xr, ai, dn, preferred_element_type=acc))
 
 
 def bsr_matvec_pallas(op: BSROperator, xr, xi, interpret: bool | None = None):
@@ -148,36 +152,38 @@ def bsr_matvec_pallas(op: BSROperator, xr, xi, interpret: bool | None = None):
     xr2 = xr[:, None] if vec else xr
     xi2 = xi[:, None] if vec else xi
     r_orig = xr2.shape[1]
-    # pad the rhs dimension to the TPU lane width for legal tiling
-    r = max(8, r_orig) if interpret else max(128, r_orig)
+    # rhs columns sit in SUBLANES (block coords in lanes): pad to the f32
+    # sublane quantum only, not the 128 lane width.
+    r = -(-max(8, r_orig) // 8) * 8
     if r != r_orig:
         pad = [(0, 0), (0, r - r_orig)]
         xr2 = jnp.pad(xr2, pad)
         xi2 = jnp.pad(xi2, pad)
-    x = jnp.stack([xr2.reshape(nb, bs, r), xi2.reshape(nb, bs, r)], axis=1)
-    # x: (nb, 2, bs, r)
+    # x: (nb, 2, r, bs)
+    x = jnp.stack([xr2.reshape(nb, bs, r).swapaxes(1, 2),
+                   xi2.reshape(nb, bs, r).swapaxes(1, 2)], axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # row_of, col_idx
         grid=(op.nnzb,),
         in_specs=[
             pl.BlockSpec((1, 2, bs, bs), lambda k, row_of, col_idx: (k, 0, 0, 0)),
-            pl.BlockSpec((1, 2, bs, r),
+            pl.BlockSpec((1, 2, r, bs),
                          lambda k, row_of, col_idx: (col_idx[k], 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 2, bs, r),
+        out_specs=pl.BlockSpec((1, 2, r, bs),
                                lambda k, row_of, col_idx: (row_of[k], 0, 0, 0)),
     )
 
     y = pl.pallas_call(
         _spmv_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, 2, bs, r), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((nb, 2, r, bs), x.dtype),
         interpret=interpret,
     )(op.row_of, op.col_idx, op.data, x)
 
-    yr = y[:, 0].reshape(op.n, r)[:, :r_orig]
-    yi = y[:, 1].reshape(op.n, r)[:, :r_orig]
+    yr = y[:, 0].swapaxes(1, 2).reshape(op.n, r)[:, :r_orig]
+    yi = y[:, 1].swapaxes(1, 2).reshape(op.n, r)[:, :r_orig]
     if vec:
         yr, yi = yr[:, 0], yi[:, 0]
     return yr, yi

@@ -1,0 +1,70 @@
+"""Native C++ engine vs reference goldens and vs the JAX path."""
+import json
+
+import numpy as np
+import pytest
+
+from emme_tpu import from_config, native
+from emme_tpu.ops.singularity import singularity_coeff_matrix
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+
+@pytest.fixture(scope="module")
+def tok(tokamak_cfg):
+    return from_config(tokamak_cfg)
+
+
+def test_native_geometry_matches_reference(goldens_dir, tok):
+    gold = json.load(open(goldens_dir / "micro_tokamak.json"))
+    etas = np.array(gold["eta_samples"])
+    g, bi = native.g_bi(tok, etas)
+    assert np.abs(g - np.array(gold["g_integration_f"])).max() < 1e-14
+    assert np.abs(bi - np.array(gold["bi"])).max() < 1e-14
+
+
+def test_native_kappa_bit_matches_reference(goldens_dir, tok):
+    """The native adaptive G-K engine reproduces the reference's own
+    quadrature decisions: agreement at roundoff level, NOT just tolerance."""
+    gold = json.load(open(goldens_dir / "micro_tokamak.json"))
+    cases = gold["kappa_cases"]
+    for om in {tuple(c["omega"]) for c in cases}:
+        sel = [c for c in cases if tuple(c["omega"]) == om]
+        m = np.array([c["m"] for c in sel])
+        eta = np.array([c["eta"] for c in sel])
+        etap = np.array([c["etap"] for c in sel])
+        ref = np.array([complex(*c["kappa_i"]) for c in sel])
+        mine = native.kappa_batch(tok, m, eta, etap, complex(*om))
+        rel = np.abs(mine - ref) / (np.abs(ref) + 1e-30)
+        assert rel.max() < 1e-12
+
+
+def test_native_assembly_matches_reference_matrix(goldens_dir, tokamak_cfg):
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    coeff = np.asarray(singularity_coeff_matrix(32))
+    M = native.assemble(p, coeff, complex(-0.8, 0.25))
+    ref = np.fromfile(goldens_dir / "matrix_tok32_guess.bin",
+                      dtype=np.complex128).reshape(32, 32)
+    assert np.abs(M - ref).max() < 1e-12
+
+
+def test_native_em_assembly_matches_reference(goldens_dir, stellarator_cfg):
+    cfg = dict(stellarator_cfg, npoints=32)
+    p = from_config(cfg)
+    coeff = np.asarray(singularity_coeff_matrix(32))
+    M = native.assemble(p, coeff, complex(-1.656, 2.49))
+    ref = np.fromfile(goldens_dir / "matrix_stel32_guess.bin",
+                      dtype=np.complex128).reshape(64, 64)
+    assert np.abs(M - ref).max() < 1e-10 * np.abs(ref).max()
+
+
+def test_native_solve_matches_golden(tokamak_cfg, golden_eigenvalues):
+    from emme_tpu.solvers import eigen_native
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    om, vec, steps, _ = eigen_native.solve(p, complex(-0.8, 0.25), tol=1e-6)
+    ref = complex(*golden_eigenvalues["tok32"]["omega"])
+    assert abs(om - ref) / abs(ref) < 1e-9
+    assert steps == golden_eigenvalues["tok32"]["steps"]
