@@ -100,9 +100,10 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
     p = params_mod.from_config(cfg, dtype=dtype)
     tol = float(cfg.get("iteration_precision", 1e-6))
 
+    method = cfg.get("iteration_method", "TraceSecant")
     with section("Iteration"):
         omega, vec, n_steps, state = eigen.solve(
-            p, omega_guess, tol=tol, quad=quad, chunk=chunk)
+            p, omega_guess, tol=tol, quad=quad, chunk=chunk, method=method)
 
     with section("Output"):
         if matrix_file is not None:

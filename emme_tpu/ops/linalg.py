@@ -56,6 +56,18 @@ def complex_solve_trace(M, dM, force_real_embedding: bool = False):
     return jnp.trace(Z[:n]) + 1j * jnp.trace(Z[n:])
 
 
+def complex_bilinear(v, M):
+    """v^T M v for complex v, M, computed on real planes (no complex
+    reductions -- the TPU backend lacks them)."""
+    vr, vi = jnp.real(v), jnp.imag(v)
+    Mr, Mi = jnp.real(M), jnp.imag(M)
+    wr = Mr @ vr - Mi @ vi
+    wi = Mr @ vi + Mi @ vr
+    re = jnp.sum(vr * wr - vi * wi)
+    im = jnp.sum(vr * wi + vi * wr)
+    return re + 1j * im
+
+
 def null_space_vector(M, force_real_embedding: bool = False,
                       method: str | None = None):
     """Null-space (least-singular right-singular) vector of M, conjugated to

@@ -187,6 +187,34 @@ def newton_trace_step(p, grid, coeff, state: EigenState, quad=None,
     return EigenState(omega=omega, d_omega=d_omega, M=M_new, dM=dM)
 
 
+def newton_qr_secant_step(p, grid, coeff, state: EigenState, quad=None,
+                          chunk: int = 2048) -> EigenState:
+    """The reference's alternative "QRSecant" iteration (solver.h:210-383)
+    re-derived TPU-first.
+
+    The reference runs a column-pivoted QR, builds the approximate null
+    vector v from the R factor, and updates d_omega = -R_nn / (Q^H dM v)_n
+    -- a bordered Newton step on the smallest singular pair, with
+    M v = R_nn q_n.  Column-pivoted QR has no TPU kernel, so the same
+    update is computed from the null pair directly: v by inverse iteration,
+    left vector u = conj(v) (M is complex symmetric, so M^T = M), giving
+
+        d_omega = -(v^T M v) / (v^T dM v),
+
+    which agrees with the QR form as v, q_n approach the singular
+    directions.  Same fixed points; comparable step counts (tested against
+    the golden trajectories).
+    """
+    v = linalg.null_space_vector(state.M, method="inverse")
+    num = linalg.complex_bilinear(v, state.M)
+    den = linalg.complex_bilinear(v, state.dM)
+    d_omega = -num / den
+    omega = state.omega + d_omega
+    M_new = assemble_matrix(p, grid, coeff, omega, quad, chunk)
+    dM = (M_new - state.M) / d_omega
+    return EigenState(omega=omega, d_omega=d_omega, M=M_new, dM=dM)
+
+
 @jax.jit
 def null_space(M):
     """Conjugated last right-singular vector (solver.h:58-112)."""
@@ -207,11 +235,13 @@ def fetch_complex(x) -> complex:
 
 
 def solve(p, omega_init, tol: float | None = None, quad=None,
-          chunk: int = 2048, callback=None, dtype=None):
+          chunk: int = 2048, callback=None, dtype=None,
+          method: str = "TraceSecant"):
     """Full eigen solve on host: returns (omega, eigenvector, n_steps, state).
 
     Convergence: |d_omega| < tol * |omega| within iteration_step_limit steps
-    (main.cpp:43-57).
+    (main.cpp:43-57).  ``method``: "TraceSecant" (default) or the QR-secant
+    variant, selected like main.cpp:45-49.
     """
     tol = tol if tol is not None else 1e-6
     dtype = dtype if dtype is not None else jnp.asarray(p.length).dtype
@@ -219,7 +249,9 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
     grid = Grid.create(p.length, p.npoints, dtype=dtype)
     coeff = singularity_coeff_matrix(p.npoints, dtype=dtype)
 
-    step = jax.jit(partial(newton_trace_step, quad=quad, chunk=chunk),
+    step_fn = newton_trace_step if method == "TraceSecant" \
+        else newton_qr_secant_step
+    step = jax.jit(partial(step_fn, quad=quad, chunk=chunk),
                    static_argnames=())
     # complex host->device transfers are unsupported on TPU: ship (re, im)
     # floats and combine on device.

@@ -277,3 +277,35 @@ def calculate_omega(stats, dt):
     if len(peaks) > 1:
         omega = np.pi * (len(peaks) - 1) / (dt * (peaks[-1] - peaks[0]))
     return complex(omega, gamma)
+
+
+def update_err(s: PICState, combo, dt):
+    """Reference error norm (solver_pic.h:158-169): NB the reference loops
+    the first field.size() markers only (an acknowledged quirk, faithfully
+    reproduced): err = sqrt(sum |v_i dt|^2 / sum |w_i|^2) over i < nf."""
+    nf = s.field.shape[-1]
+    v = combo[:nf] * dt
+    w = s.weight[:nf]
+    err = jnp.sum(jnp.real(v) ** 2 + jnp.imag(v) ** 2)
+    tot = jnp.sum(jnp.real(w) ** 2 + jnp.imag(w) ** 2)
+    return jnp.sqrt(err / tot)
+
+
+def step_adaptive(p, s: PICState, current_dt, qn_coef,
+                  upper_err_bound=1e-7, lower_err_bound=1e-10,
+                  density_reduce=None, max_halvings: int = 30):
+    """Adaptive step with embedded-error halving/doubling and state rollback
+    (solver_pic.h:437-457).  Host-level control flow around jitted steps.
+    Returns (new_state, dt_taken, next_dt)."""
+    s0 = s
+    dt = float(current_dt)
+    for _ in range(max_halvings):
+        s_new, v = rk3_step(p, s0, dt, qn_coef, density_reduce)
+        combo = jax.tree_util.tree_map(
+            lambda *xs: sum(RK_COEF[3][k] * x for k, x in enumerate(xs)), *v)
+        err = float(update_err(s_new, combo, dt))
+        if err < upper_err_bound:
+            next_dt = dt * 2.0 if err < lower_err_bound else dt
+            return s_new, dt, next_dt
+        dt *= 0.5
+    raise RuntimeError("step_adaptive: error bound not reached")

@@ -60,3 +60,15 @@ def test_eigen_solve_stel32(goldens_dir, stellarator_cfg, golden_eigenvalues):
     assert abs(om - ref) / abs(ref) < 5e-5
     gv = np.fromfile(goldens_dir / "eigenvector_stel32.bin", dtype=np.complex128)
     assert _vec_corr(gv, np.asarray(vec)) > 1 - 1e-5
+
+
+def test_eigen_solve_qr_secant_tok32(tokamak_cfg, golden_eigenvalues):
+    """The QR-secant variant (solver.h:210-383 semantics, bordered-Newton
+    form) reaches the same fixed point."""
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    om, vec, nsteps, _ = eigen.solve(p, -0.8 + 0.25j, tol=1e-6,
+                                     method="QRSecant")
+    ref = complex(*golden_eigenvalues["tok32"]["omega"])
+    assert abs(om - ref) / abs(ref) < 2e-6
+    assert nsteps <= golden_eigenvalues["tok32"]["steps"] + 3

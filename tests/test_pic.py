@@ -95,3 +95,19 @@ def test_pic_statistical_golden(tokamak_cfg, golden_eigenvalues):
     ref = complex(*golden_eigenvalues["pic_tok256"]["omega"])
     assert abs(om.imag - ref.imag) / abs(ref.imag) < 0.10   # growth rate
     assert abs(om.real - ref.real) / abs(ref.real) < 0.05   # |frequency|
+
+
+def test_step_adaptive(pic_params):
+    """Adaptive halving/doubling with rollback (solver_pic.h:437-457)."""
+    p = pic_params
+    qn = pic.quasi_neutrality_coef(p)
+    s = pic.init_state(p, 8, jax.random.PRNGKey(5))
+    s2, dt_taken, next_dt = pic.step_adaptive(p, s, 0.25, qn,
+                                              upper_err_bound=1e-4,
+                                              lower_err_bound=1e-12)
+    assert dt_taken <= 0.25
+    assert np.isfinite(np.asarray(s2.field)).all()
+    # a tighter bound forces halving
+    s3, dt2, _ = pic.step_adaptive(p, s, 0.25, qn, upper_err_bound=1e-9,
+                                   lower_err_bound=1e-14)
+    assert dt2 < 0.25
