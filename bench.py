@@ -48,13 +48,14 @@ def main():
     cfg["npoints"] = 1024
     p = from_config(cfg, dtype=dtype)
 
+    chunk = 4096
     # Warm-up solve triggers all compilation (cached persistently).
     print("warm-up (compilation)...", file=sys.stderr, flush=True)
-    eigen.solve(p, -0.8 + 0.25j, tol=1e-5)
+    eigen.solve(p, -0.8 + 0.25j, tol=1e-5, chunk=chunk)
 
     # Timed: full solve = init (2 assemblies) + iterations + nullspace.
     t0 = time.time()
-    om, vec, nsteps, _ = eigen.solve(p, -0.8 + 0.25j, tol=1e-5)
+    om, vec, nsteps, _ = eigen.solve(p, -0.8 + 0.25j, tol=1e-5, chunk=chunk)
     elapsed = time.time() - t0
 
     rel_err = abs(om - GOLDEN) / abs(GOLDEN)

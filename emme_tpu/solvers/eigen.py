@@ -234,6 +234,28 @@ def fetch_complex(x) -> complex:
     return complex(float(re), float(im))
 
 
+_SOLVE_JIT_CACHE: dict = {}
+
+
+def _solve_fns(method: str, quad, chunk: int, cdtype):
+    """Per-(method, quad, chunk, dtype) jitted step/init pair, cached at
+    module level so repeated ``solve`` calls (parameter scans!) reuse the
+    compiled executables instead of re-deserializing from the persistent
+    compile cache each call."""
+    qkey = tuple(sorted(quad.items())) if quad else None
+    key = (method, qkey, chunk, jnp.dtype(cdtype).name)
+    if key not in _SOLVE_JIT_CACHE:
+        step_fn = newton_trace_step if method == "TraceSecant" \
+            else newton_qr_secant_step
+        step = jax.jit(partial(step_fn, quad=quad, chunk=chunk))
+        # complex host->device transfers are unsupported on TPU: ship
+        # (re, im) floats and combine on device.
+        init = jax.jit(lambda p, g, c, re, im: init_state(
+            p, g, c, (re + 1j * im).astype(cdtype), quad, chunk))
+        _SOLVE_JIT_CACHE[key] = (step, init)
+    return _SOLVE_JIT_CACHE[key]
+
+
 def solve(p, omega_init, tol: float | None = None, quad=None,
           chunk: int = 2048, callback=None, dtype=None,
           method: str = "TraceSecant"):
@@ -249,14 +271,7 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
     grid = Grid.create(p.length, p.npoints, dtype=dtype)
     coeff = singularity_coeff_matrix(p.npoints, dtype=dtype)
 
-    step_fn = newton_trace_step if method == "TraceSecant" \
-        else newton_qr_secant_step
-    step = jax.jit(partial(step_fn, quad=quad, chunk=chunk),
-                   static_argnames=())
-    # complex host->device transfers are unsupported on TPU: ship (re, im)
-    # floats and combine on device.
-    init = jax.jit(lambda p, g, c, re, im: init_state(
-        p, g, c, (re + 1j * im).astype(cdtype), quad, chunk))
+    step, init = _solve_fns(method, quad, chunk, cdtype)
     omega_init = complex(omega_init)
     state = init(p, grid, coeff, jnp.asarray(omega_init.real, dtype),
                  jnp.asarray(omega_init.imag, dtype))
