@@ -66,15 +66,28 @@ class Timer:
 
 
 class section:
-    """Context manager: ``with section("Iteration"): ...``"""
+    """Context manager: ``with section("Iteration"): ...``
+
+    Besides the wall-clock accumulation it emits a ``jax.profiler``
+    TraceAnnotation so the section shows up on the TPU timeline when a
+    profiler trace is being captured (``start_trace``/``stop_trace``)."""
 
     def __init__(self, name: str):
         self.name = name
+        self._annotation = None
 
     def __enter__(self):
         Timer.get_timer().start_timing(self.name)
+        try:
+            import jax.profiler
+            self._annotation = jax.profiler.TraceAnnotation(self.name)
+            self._annotation.__enter__()
+        except Exception:
+            self._annotation = None
         return self
 
     def __exit__(self, *exc):
+        if self._annotation is not None:
+            self._annotation.__exit__(*exc)
         Timer.get_timer().pause_timing(self.name)
         return False

@@ -53,6 +53,43 @@ def test_bsr_matvec_pallas_matches_dense(banded_matrix, nrhs):
     assert np.abs(y - Md @ x).max() < 1e-10
 
 
+def test_bdia_offsets_respect_threshold(banded_matrix):
+    op = sparse.bdia_from_dense(banded_matrix, block=128, threshold=1e-2)
+    assert 0 in op.offsets
+    assert len(op.offsets) < 2 * (512 // 128) - 1
+
+
+@pytest.mark.parametrize("nrhs", [None, 4])
+def test_bdia_matvec_matches_dense(banded_matrix, nrhs):
+    M = banded_matrix
+    n = M.shape[0]
+    op = sparse.bdia_from_dense(M, block=128, threshold=0.0)
+    rng = np.random.default_rng(3)
+    shape = (n,) if nrhs is None else (n, nrhs)
+    x = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+    yr, yi = jax.jit(sparse.bdia_matvec)(op, jnp.asarray(x.real),
+                                         jnp.asarray(x.imag))
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.abs(y - M @ x).max() < 1e-9
+
+
+def test_bdia_dropped_diagonals_zero_contribution(banded_matrix):
+    # with a threshold, result equals matvec against the band-truncated M
+    M = banded_matrix
+    op = sparse.bdia_from_dense(M, block=128, threshold=1e-3)
+    nb = 512 // 128
+    blocks = M.reshape(nb, 128, nb, 128).transpose(0, 2, 1, 3).copy()
+    keep = np.isin(np.arange(nb)[None, :] - np.arange(nb)[:, None],
+                   list(op.offsets))
+    blocks[~keep] = 0
+    Md = blocks.transpose(0, 2, 1, 3).reshape(512, 512)
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=512) + 1j * rng.normal(size=512)
+    yr, yi = sparse.bdia_matvec(op, jnp.asarray(x.real), jnp.asarray(x.imag))
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.abs(y - Md @ x).max() < 1e-10
+
+
 def test_bsr_ref_matches_pallas(banded_matrix):
     op = sparse.bsr_from_dense(banded_matrix, block=128, threshold=1e-3)
     rng = np.random.default_rng(2)
