@@ -100,6 +100,87 @@ def sharded_init_state(p, grid, coeff, omega_init, mesh, quad=None,
 
 
 # ---------------------------------------------------------------------------
+# Row-block sharded SpMV with ppermute halo exchange (BASELINE north star:
+# "rows/blocks of the operator partitioned across the pod slice with halo
+# eigenvector segments exchanged via ppermute/all-gather collectives")
+# ---------------------------------------------------------------------------
+
+def shard_bdia(op, mesh: Mesh):
+    """Partition a BDIAOperator's row-blocks over the ``rows`` mesh axis.
+
+    Returns (data_sharded, x_spec) where data (ndiag, nb, 2, bs, bs) is
+    sharded on its row-block axis.  Requires nb divisible by the axis size
+    and max|offset| <= nb_local (halo fits in one neighbor exchange)."""
+    n_shards = mesh.shape["rows"]
+    nb = op.n // op.block
+    assert nb % n_shards == 0, (nb, n_shards)
+    halo = max(abs(d) for d in op.offsets)
+    data = jax.device_put(
+        op.data, NamedSharding(mesh, P(None, "rows", None, None, None)))
+    return data, halo
+
+
+def sharded_bdia_matvec(data, offsets, halo: int, mesh: Mesh, xr, xi):
+    """y = A x with row-blocks sharded over ``rows`` and the x halo segments
+    exchanged by ``ppermute`` stripe relays (the band analogue of a
+    ring-attention step).  A halo narrower than one shard costs one
+    left+right exchange; wider bands relay whole stripes hop by hop.
+    Devices at the global edges receive ppermute's implicit zeros, which is
+    exactly the non-periodic boundary condition.
+
+    Args:
+      data: (ndiag, nb, 2, bs, bs) BDIA planes, sharded on axis 1.
+      offsets: static tuple of block-diagonal offsets.
+      halo: static max |offset| (from ``shard_bdia``).
+      xr, xi: (n,) vectors, sharded over ``rows``.
+    Returns (yr, yi) sharded the same way.
+    """
+    n_shards = mesh.shape["rows"]
+    bs = data.shape[-1]
+
+    def shard_fn(d_local, xr_loc, xi_loc):
+        nbl = d_local.shape[1]
+        x_loc = jnp.stack([xr_loc.reshape(nbl, bs),
+                           xi_loc.reshape(nbl, bs)])           # (2, nbl, bs)
+        hops = -(-halo // nbl)  # stripes needed per side
+
+        # stripe relay: hop h delivers the full local stripe of the device
+        # h to the left (resp. right); zeros flow in at the global edges
+        # and propagate, giving the open-boundary halo for free.
+        to_right = [(i, i + 1) for i in range(n_shards - 1)]
+        to_left = [(i + 1, i) for i in range(n_shards - 1)]
+        stripes = [x_loc]
+        buf = x_loc
+        for _ in range(hops):
+            buf = jax.lax.ppermute(buf, "rows", to_right)
+            stripes.insert(0, buf)
+        buf = x_loc
+        for _ in range(hops):
+            buf = jax.lax.ppermute(buf, "rows", to_left)
+            stripes.append(buf)
+        x_ext = jnp.concatenate(stripes, axis=1)
+        base = hops * nbl  # position of local block 0 within x_ext
+
+        # local contraction: for diagonal d, y[i] += A_d[i] @ x_ext[base+i+d]
+        gxr = jnp.stack([jax.lax.dynamic_slice_in_dim(
+            x_ext[0], base + d, nbl, axis=0) for d in offsets])
+        gxi = jnp.stack([jax.lax.dynamic_slice_in_dim(
+            x_ext[1], base + d, nbl, axis=0) for d in offsets])
+        ar = d_local[:, :, 0]
+        ai = d_local[:, :, 1]
+        dn = "dnij,dnj->ni"
+        yr = jnp.einsum(dn, ar, gxr) - jnp.einsum(dn, ai, gxi)
+        yi = jnp.einsum(dn, ar, gxi) + jnp.einsum(dn, ai, gxr)
+        return yr.reshape(-1), yi.reshape(-1)
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, "rows", None, None, None), P("rows"), P("rows")),
+        out_specs=(P("rows"), P("rows")), check_vma=False,
+    )(data, xr, xi)
+
+
+# ---------------------------------------------------------------------------
 # PIC with sharded markers
 # ---------------------------------------------------------------------------
 
