@@ -127,7 +127,62 @@ def _omega_d_integral(p, eta, v_para):
             * (jnp.sin(eta) * (1.0 + p.shat) - p.shat * eta * jnp.cos(eta)))
 
 
-def put_velocity(p, s: PICState):
+def _gather_cic_matmul(table, idx, nf, chunk: int = 8192):
+    """Gather rows of ``table`` (nf, c) at marker cells as one-hot MXU
+    matmuls -- the mirror of ``_deposit_matmul`` (TPU dynamic gathers from a
+    1M-marker index vector cost ~50 ms/step; this runs in ~1 ms)."""
+    m = idx.shape[0]
+    n_chunks = max(1, -(-m // chunk))
+    pad = n_chunks * chunk - m
+    if pad:
+        idx = jnp.pad(idx, (0, pad))
+    idx = idx % nf
+
+    def body(_, ic):
+        oh = jax.nn.one_hot(ic, nf, dtype=table.dtype)     # (chunk, nf)
+        return None, oh @ table
+
+    _, out = jax.lax.scan(body, None, idx.reshape(n_chunks, chunk))
+    return out.reshape(n_chunks * chunk, -1)[:m]
+
+
+def gather_cic(field, idx, w, nf, cw, method: str | None = None):
+    """CIC field gather: returns (phi, dphi) at marker positions.
+
+    phi = (1-w) f[i] + w f[i+1]; dphi is the CIC blend of the centered
+    difference g[c] = (f[c+1] - f[c-1]) / (2 cw) (identical to the
+    reference's four-point stencil, solver_pic.h:96-104).  ``method``:
+    'take' (indexed loads; best on CPU), 'matmul' (one-hot MXU gather;
+    best on TPU), or None to pick by backend.
+    """
+    if method is None:
+        method = "take" if jax.default_backend() == "cpu" else "matmul"
+    if method == "take":
+        fm1 = field[(idx - 1) % nf]
+        f0 = field[idx % nf]
+        f1 = field[(idx + 1) % nf]
+        f2 = field[(idx + 2) % nf]
+        phi = (1.0 - w) * f0 + w * f1
+        dphi = ((1.0 - w) * (f1 - fm1) + w * (f2 - f0)) / (2.0 * cw)
+        return phi, dphi
+    g = jnp.roll(field, -1) - jnp.roll(field, 1)       # f[c+1] - f[c-1]
+    fp = jnp.roll(field, -1)                           # f[c+1]
+    gp = jnp.roll(g, -1)                               # g[c+1]
+    table = jnp.stack([jnp.real(field), jnp.imag(field),
+                       jnp.real(fp), jnp.imag(fp),
+                       jnp.real(g), jnp.imag(g),
+                       jnp.real(gp), jnp.imag(gp)], axis=-1)
+    cols = _gather_cic_matmul(table, idx, nf)
+    f0 = cols[:, 0] + 1j * cols[:, 1]
+    f1 = cols[:, 2] + 1j * cols[:, 3]
+    g0 = cols[:, 4] + 1j * cols[:, 5]
+    g1 = cols[:, 6] + 1j * cols[:, 7]
+    phi = (1.0 - w) * f0 + w * f1
+    dphi = ((1.0 - w) * g0 + w * g1) / (2.0 * cw)
+    return phi, dphi
+
+
+def put_velocity(p, s: PICState, gather_method: str | None = None):
     """d(weight)/dt for every marker (solver_pic.h:82-140)."""
     nf = p.npoints
     cw = cell_width(p)
@@ -137,13 +192,7 @@ def put_velocity(p, s: PICState):
            * bessel_j1(x_perp * sb) / sb)
 
     idx, w = _locate(p, s.eta)
-    f = s.field
-    fm1 = f[(idx - 1) % nf]
-    f0 = f[idx % nf]
-    f1 = f[(idx + 1) % nf]
-    f2 = f[(idx + 2) % nf]
-    phi = (1.0 - w) * f0 + w * f1
-    dphi = ((1.0 - w) * (f1 - fm1) + w * (f2 - f0)) / (2.0 * cw)
+    phi, dphi = gather_cic(s.field, idx, w, nf, cw, method=gather_method)
 
     omega_d = _omega_d(p, s.eta)
     common = (1j * ((s.omega_st - omega_d * s.omega_dv) * s.j0 * phi)
@@ -153,7 +202,61 @@ def put_velocity(p, s: PICState):
     return (-s.weight * omega_d * s.omega_dv * 1j + s.p_weight * common)
 
 
-def solve_field(p, s: PICState, qn_coef, density_reduce=None):
+def _deposit_segment(den, idx, w, nf):
+    """CIC scatter-add via segment_sum (efficient on CPU)."""
+    i0 = idx % nf
+    i1 = (idx + 1) % nf
+    return (jax.ops.segment_sum(den * (1.0 - w), i0, num_segments=nf)
+            + jax.ops.segment_sum(den * w, i1, num_segments=nf))
+
+
+def _deposit_matmul(den, idx, w, nf, chunk: int = 8192):
+    """CIC deposition as one-hot MXU matmuls (TPU scatters are ~100x slower
+    than this; cf. the SURVEY plan 'sort-by-cell + segment_sum, or one-hot
+    matmul deposition on the MXU').
+
+    Per marker chunk: contributions = one_hot(idx)^T @ [re*wl, im*wl,
+    re*wr, im*wr]; the right-node part lands on idx and is then rolled by
+    one cell, which is exactly the periodic (idx + 1) % nf target.  XLA
+    fuses the one-hot generation into the matmul operand tiles, so the
+    (chunk x nf) one-hot never hits HBM."""
+    m = den.shape[0]
+    n_chunks = max(1, -(-m // chunk))
+    pad = n_chunks * chunk - m
+    wl = (1.0 - w)
+    vals = jnp.stack([jnp.real(den) * wl, jnp.imag(den) * wl,
+                      jnp.real(den) * w, jnp.imag(den) * w], axis=-1)
+    if pad:
+        vals = jnp.pad(vals, ((0, pad), (0, 0)))
+        idx = jnp.pad(idx, (0, pad))  # padded lanes carry zero vals
+    idx = idx % nf
+
+    def body(acc, args):
+        ic, vc = args
+        oh = jax.nn.one_hot(ic, nf, dtype=vals.dtype)      # (chunk, nf)
+        return acc + oh.T @ vc, None
+
+    y0 = jnp.zeros((nf, 4), vals.dtype)
+    y, _ = jax.lax.scan(body, y0, (idx.reshape(n_chunks, chunk),
+                                   vals.reshape(n_chunks, chunk, 4)))
+    left = y[:, 0] + 1j * y[:, 1]
+    right = y[:, 2] + 1j * y[:, 3]
+    return left + jnp.roll(right, 1)
+
+
+def deposit(den, idx, w, nf, method: str | None = None):
+    """CIC charge deposition den -> grid.  ``method``: 'segment' (scatter
+    adds; best on CPU), 'matmul' (one-hot MXU contraction; best on TPU), or
+    None to pick by backend."""
+    if method is None:
+        method = "segment" if jax.default_backend() == "cpu" else "matmul"
+    if method == "segment":
+        return _deposit_segment(den, idx, w, nf)
+    return _deposit_matmul(den, idx, w, nf)
+
+
+def solve_field(p, s: PICState, qn_coef, density_reduce=None,
+                deposit_method: str | None = None):
     """Charge deposition + quasi-neutrality solve (solver_pic.h:249-354).
     Also refreshes j0 and the drift-center pull-back as the reference does.
 
@@ -168,10 +271,7 @@ def solve_field(p, s: PICState, qn_coef, density_reduce=None):
     den = (j0 * s.weight * dc_pb if p.drift_center_transformation_switch
            else j0 * s.weight)
     idx, w = _locate(p, s.eta)
-    i0 = idx % nf
-    i1 = (idx + 1) % nf
-    d = (jax.ops.segment_sum(den * (1.0 - w), i0, num_segments=nf)
-         + jax.ops.segment_sum(den * w, i1, num_segments=nf))
+    d = deposit(den, idx, w, nf, method=deposit_method)
     if density_reduce is not None:
         d = density_reduce(d)
     field = d * qn_coef

@@ -76,6 +76,39 @@ def test_deposition_charge_conservation(pic_params):
     assert abs(total_field - den.sum()) < 1e-10 * abs(den.sum())
 
 
+def test_deposit_matmul_matches_segment(pic_params):
+    """The MXU one-hot deposition (TPU default) is algebraically the same
+    scatter as segment_sum (CPU default), including the periodic (idx+1)
+    wrap and chunk padding."""
+    p = pic_params
+    nf = int(p.npoints)
+    rng = np.random.default_rng(7)
+    m = 1000  # deliberately not a multiple of the chunk size
+    den = jnp.asarray(rng.normal(size=m) + 1j * rng.normal(size=m))
+    idx = jnp.asarray(rng.integers(0, nf, size=m).astype(np.int32))
+    w = jnp.asarray(rng.uniform(size=m))
+    d_seg = pic.deposit(den, idx, w, nf, method="segment")
+    d_mm = pic.deposit(den, idx, w, nf, method="matmul")
+    assert np.abs(np.asarray(d_seg) - np.asarray(d_mm)).max() < 1e-12
+
+
+def test_gather_matmul_matches_take(pic_params):
+    """The MXU one-hot gather (TPU default) reproduces the indexed-load CIC
+    gather, including the periodic stencil wrap."""
+    p = pic_params
+    nf = int(p.npoints)
+    cw = float(pic.cell_width(p))
+    rng = np.random.default_rng(8)
+    field = jnp.asarray(rng.normal(size=nf) + 1j * rng.normal(size=nf))
+    m = 777
+    idx = jnp.asarray(rng.integers(0, nf, size=m).astype(np.int32))
+    w = jnp.asarray(rng.uniform(size=m))
+    phi_t, dphi_t = pic.gather_cic(field, idx, w, nf, cw, method="take")
+    phi_m, dphi_m = pic.gather_cic(field, idx, w, nf, cw, method="matmul")
+    assert np.abs(np.asarray(phi_t) - np.asarray(phi_m)).max() < 1e-12
+    assert np.abs(np.asarray(dphi_t) - np.asarray(dphi_m)).max() < 1e-12
+
+
 def test_pic_short_run_finite(pic_params):
     stats, s, _ = pic.run(pic_params, 8, 20, 0.25, key=jax.random.PRNGKey(3))
     st = np.asarray(stats)
