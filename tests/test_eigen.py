@@ -62,6 +62,21 @@ def test_eigen_solve_stel32(goldens_dir, stellarator_cfg, golden_eigenvalues):
     assert _vec_corr(gv, np.asarray(vec)) > 1 - 1e-5
 
 
+def test_eigen_solve_host64_polish_tok32(goldens_dir, tokamak_cfg,
+                                         golden_eigenvalues):
+    """The hybrid path (device assembly + host complex128 trace-secant +
+    inverse-iteration null vector) reaches the same fixed point.  On TPU
+    this is how the reference 1e-6 tolerance is met without f64 hardware."""
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    om, vec, nsteps, _ = eigen.solve(p, -0.8 + 0.25j, tol=1e-6, host64=True)
+    ref = complex(*golden_eigenvalues["tok32"]["omega"])
+    assert abs(om - ref) / abs(ref) < 2e-6
+    gv = np.fromfile(goldens_dir / "eigenvector_tok32.bin",
+                     dtype=np.complex128)
+    assert _vec_corr(gv, np.asarray(vec)) > 1 - 1e-7
+
+
 def test_eigen_solve_qr_secant_tok32(tokamak_cfg, golden_eigenvalues):
     """The QR-secant variant (solver.h:210-383 semantics, bordered-Newton
     form) reaches the same fixed point."""
