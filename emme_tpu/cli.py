@@ -22,6 +22,9 @@ def main(argv=None):
                     help="compute platform (default: auto)")
     ap.add_argument("--f32", action="store_true",
                     help="single precision (complex64) -- the fast TPU path")
+    ap.add_argument("--host64", action="store_true",
+                    help="hybrid polish: device assembly + host complex128 "
+                         "linalg (reference tolerance on f32 TPU)")
     ap.add_argument("--no-checkpoint", action="store_true",
                     help="disable scan checkpoint/resume")
     ap.add_argument("--chunk", type=int, default=2048,
@@ -42,7 +45,7 @@ def main(argv=None):
     dtype = jnp.float32 if args.f32 else jnp.float64
     driver.run(args.input, output_dir=args.output_dir, dtype=dtype,
                checkpoint=not args.no_checkpoint, verbose=not args.quiet,
-               chunk=args.chunk)
+               chunk=args.chunk, host64=args.host64)
     return 0
 
 

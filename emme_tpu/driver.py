@@ -93,7 +93,8 @@ def _typed_array(vec) -> list:
 
 
 def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
-                     dtype=jnp.float64, quad=None, chunk: int = 2048) -> dict:
+                     dtype=jnp.float64, quad=None, chunk: int = 2048,
+                     host64: bool = False) -> dict:
     """One eigen-method solve (main.cpp:19-80).  Returns the single-result
     object and the converged omega for continuation."""
     timer = Timer.get_timer()
@@ -103,7 +104,8 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
     method = cfg.get("iteration_method", "TraceSecant")
     with section("Iteration"):
         omega, vec, n_steps, state = eigen.solve(
-            p, omega_guess, tol=tol, quad=quad, chunk=chunk, method=method)
+            p, omega_guess, tol=tol, quad=quad, chunk=chunk, method=method,
+            host64=host64)
 
     with section("Output"):
         if matrix_file is not None:
@@ -146,7 +148,7 @@ _SOLVERS = {"eigen": solve_once_eigen, "PIC": solve_once_pic}
 
 def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
         dtype=jnp.float64, checkpoint: bool = True, verbose: bool = True,
-        quad=None, chunk: int = 2048) -> dict:
+        quad=None, chunk: int = 2048, host64: bool = False) -> dict:
     """Execute the full (possibly scanning) job; writes output.json and
     binary matrix dumps under ``output_dir``; returns the result object."""
     if not isinstance(input_cfg, dict):
@@ -192,7 +194,7 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
         unit = {"scan_key": "(None)", "scan_result": []}
         mfile = outdir / "eigenMatrics" / "eigenMatrix.bin"
         res, _ = solver(input_cfg, guess, matrix_file=mfile, dtype=dtype,
-                        quad=quad, chunk=chunk)
+                        quad=quad, chunk=chunk, host64=host64)
         unit["scan_result"].append(res)
         result["result"]["(None)"] = unit
     else:
@@ -224,7 +226,8 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
                     continue
                 try:
                     res, omega = solver(cfg, omega, matrix_file=mfile,
-                                        dtype=dtype, quad=quad, chunk=chunk)
+                                        dtype=dtype, quad=quad, chunk=chunk,
+                                        host64=host64)
                     res["eigenMatrix"] = str(mfile)
                     res["scan_value"] = value
                     if verbose:
