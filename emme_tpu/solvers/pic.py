@@ -231,14 +231,16 @@ def _deposit_matmul(den, idx, w, nf, chunk: int = 8192):
         idx = jnp.pad(idx, (0, pad))  # padded lanes carry zero vals
     idx = idx % nf
 
-    def body(acc, args):
+    def body(_, args):
         ic, vc = args
         oh = jax.nn.one_hot(ic, nf, dtype=vals.dtype)      # (chunk, nf)
-        return acc + oh.T @ vc, None
+        # partial sums as scan OUTPUTS (a zeros-initialized carry has the
+        # wrong varying-manual-axes type under shard_map)
+        return None, oh.T @ vc
 
-    y0 = jnp.zeros((nf, 4), vals.dtype)
-    y, _ = jax.lax.scan(body, y0, (idx.reshape(n_chunks, chunk),
-                                   vals.reshape(n_chunks, chunk, 4)))
+    _, ys = jax.lax.scan(body, None, (idx.reshape(n_chunks, chunk),
+                                      vals.reshape(n_chunks, chunk, 4)))
+    y = ys.sum(axis=0)
     left = y[:, 0] + 1j * y[:, 1]
     right = y[:, 2] + 1j * y[:, 3]
     return left + jnp.roll(right, 1)
