@@ -276,13 +276,26 @@ def host64_polish(p, grid, coeff, state: EigenState, tol: float,
 
     assemble = _assemble_fns(quad, chunk, grid.eta.dtype)
 
+    def null_vec(lu):
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=M.shape[0]) + 1j * rng.normal(size=M.shape[0])
+        for _ in range(3):
+            v = scipy.linalg.lu_solve(lu, v)
+            v = v / np.linalg.norm(v)
+        return v
+
     omega = fetch_complex(state.omega)
     M = fetch(state.M).astype(np.complex128)
     dM = fetch(state.dM).astype(np.complex128)
     steps = 0
+    v = None
     for _ in range(max_steps):
+        # bordered-Newton update on the smallest singular pair (the host
+        # form of newton_qr_secant_step): one LU + O(n^2) per step, vs the
+        # O(n^3) multi-RHS back-substitution a full trace solve would cost
         lu = scipy.linalg.lu_factor(M)
-        d_omega = -1.0 / np.trace(scipy.linalg.lu_solve(lu, dM))
+        v = null_vec(lu)
+        d_omega = -(v @ (M @ v)) / (v @ (dM @ v))
         omega = omega + d_omega
         steps += 1
         if abs(d_omega) < tol * abs(omega):
@@ -293,16 +306,11 @@ def host64_polish(p, grid, coeff, state: EigenState, tol: float,
                       ).astype(np.complex128)
         dM = (M_new - M) / d_omega
         M = M_new
+        v = None
 
-    # null vector by inverse iteration on the (near-singular) host LU
-    lu = scipy.linalg.lu_factor(M)
-    rng = np.random.default_rng(0)
-    v = rng.normal(size=M.shape[0]) + 1j * rng.normal(size=M.shape[0])
-    for _ in range(3):
-        v = scipy.linalg.lu_solve(lu, v)
-        v = v / np.linalg.norm(v)
-    # reference convention: conjugated last right-singular vector with the
-    # first entry's phase normalized away (solver.h:58-112 + output usage)
+    # null vector by inverse iteration on the final (near-singular) LU
+    if v is None:
+        v = null_vec(scipy.linalg.lu_factor(M))
     return omega, v, steps
 
 

@@ -282,7 +282,8 @@ def solve_field(p, s: PICState, qn_coef, density_reduce=None,
                     p_weight=s.p_weight, j0=j0, dc_pb=dc_pb, field=field)
 
 
-def update(p, s: PICState, velocity, dt, qn_coef, density_reduce=None):
+def update(p, s: PICState, velocity, dt, qn_coef, density_reduce=None,
+           deposit_method: str | None = None):
     """Push eta (periodic bound), advance weights, re-solve field
     (solver_pic.h:142-156, 393-396)."""
     eta = s.eta + s.v_para * dt / (p.q * p.R)
@@ -292,7 +293,7 @@ def update(p, s: PICState, velocity, dt, qn_coef, density_reduce=None):
     s = PICState(eta=eta, v_para=s.v_para, v_perp=s.v_perp, weight=weight,
                  omega_dv=s.omega_dv, omega_st=s.omega_st,
                  p_weight=s.p_weight, j0=s.j0, dc_pb=s.dc_pb, field=s.field)
-    return solve_field(p, s, qn_coef, density_reduce)
+    return solve_field(p, s, qn_coef, density_reduce, deposit_method)
 
 
 def rk3_generic(state, velocity_fn, update_fn, dt):

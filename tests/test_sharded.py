@@ -63,3 +63,41 @@ def test_pic_sharded_deposition_matches_single(tokamak_cfg):
     f1 = np.asarray(s_single.field)
     f2 = np.asarray(s_shard.field)
     assert np.abs(f1 - f2).max() < 1e-10 * (np.abs(f1).max() + 1e-30)
+
+
+def test_pic_sharded_matmul_deposit_under_shard_map(tokamak_cfg):
+    """The MXU one-hot deposition (the TPU default) must also work inside
+    shard_map with a psum reduction (regression: a zeros-initialized scan
+    carry had the wrong varying-manual-axes type)."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    cfg = dict(tokamak_cfg, npoints=64)
+    p = from_config(cfg)
+    m = mesh_mod.make_mesh()
+    n_rows = m.shape["rows"]
+    qn = pic.quasi_neutrality_coef(p)
+    s0 = pic.init_state(p, 16, jax.random.PRNGKey(7))
+
+    def shard_fn(s):
+        reduce = partial(jax.lax.psum, axis_name="rows")
+        new_s, _v = pic.rk3_generic(
+            s,
+            lambda st: pic.put_velocity(p, st),
+            lambda st, vel, sub_dt: pic.update(
+                p, st, vel, sub_dt, qn, density_reduce=reduce,
+                deposit_method="matmul"),
+            0.25)
+        return new_s
+
+    marker_spec = pic.PICState(
+        eta=P("rows"), v_para=P("rows"), v_perp=P("rows"), weight=P("rows"),
+        omega_dv=P("rows"), omega_st=P("rows"), p_weight=P("rows"),
+        j0=P("rows"), dc_pb=P("rows"), field=P(None))
+    s_shard = jax.jit(shard_map(shard_fn, mesh=m, in_specs=(marker_spec,),
+                                out_specs=marker_spec))(s0)
+    s_single, _ = pic.rk3_step(p, s0, 0.25, qn)
+    f1 = np.asarray(s_single.field)
+    f2 = np.asarray(s_shard.field)
+    assert np.abs(f1 - f2).max() < 1e-10 * (np.abs(f1).max() + 1e-30)
