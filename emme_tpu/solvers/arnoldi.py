@@ -185,9 +185,14 @@ def solve_shifts_batched(p, sigmas, m_krylov: int = 24, quad=None,
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     grid = Grid.create(p.length, p.npoints, dtype=dtype)
     coeff = singularity_coeff_matrix(p.npoints, dtype=dtype)
-    sigs = jnp.asarray(np.asarray(sigmas), cdtype)
+    # ship shifts as (re, im) planes -- complex host->device transfers are
+    # unimplemented on the TPU backend
+    sig_np = np.asarray(sigmas)
+    sig_re = jnp.asarray(sig_np.real.astype(jnp.dtype(dtype).name))
+    sig_im = jnp.asarray(sig_np.imag.astype(jnp.dtype(dtype).name))
 
-    def one(sig):
+    def one(sre, sim):
+        sig = (sre + 1j * sim).astype(cdtype)
         (Vr, Vi), (Hr, Hi), _ = shift_invert_factorization(
             p, grid, coeff, sig, m_krylov, quad, chunk)
         return Hr, Hi
@@ -195,8 +200,10 @@ def solve_shifts_batched(p, sigmas, m_krylov: int = 24, quad=None,
     fn = jax.jit(jax.vmap(one))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        sigs = jax.device_put(sigs, NamedSharding(mesh, P("scan")))
-    Hr, Hi = fn(sigs)
+        sharding = NamedSharding(mesh, P("scan"))
+        sig_re = jax.device_put(sig_re, sharding)
+        sig_im = jax.device_put(sig_im, sharding)
+    Hr, Hi = fn(sig_re, sig_im)
     out = []
     for k in range(len(np.asarray(sigmas))):
         omegas, _ = ritz_from_hessenberg(
