@@ -173,6 +173,7 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
     result = {
         "input": input_cfg,
         "git_commit_hash": provenance.git_commit_hash(),
+        "build_time": provenance.build_time(),
         "run_time": provenance.date_string(),
         "framework": "emme_tpu",
         "result": {},

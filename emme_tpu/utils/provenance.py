@@ -28,3 +28,14 @@ def date_string() -> str:
     if len(s) >= 5 and s[-5] in "+-":
         s = s[:-2] + ":" + s[-2:]
     return s
+
+
+def build_time() -> str:
+    """Install/mtime of the package, the analogue of the reference's
+    compile-time EMME_BUILD_DATE macro (build_info.sh:1-7)."""
+    newest = max((f.stat().st_mtime for f in _PKG_DIR.rglob("*.py")),
+                 default=time.time())
+    s = time.strftime("%Y-%m-%dT%H:%M:%S%z", time.localtime(newest))
+    if len(s) >= 5 and s[-5] in "+-":
+        s = s[:-2] + ":" + s[-2:]
+    return s

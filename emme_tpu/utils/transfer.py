@@ -16,8 +16,13 @@ def _split(x):
 
 
 def fetch(x):
-    """numpy copy of a jax array; complex arrays go through real planes."""
-    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.complexfloating):
+    """numpy copy of a jax array; complex arrays go through real planes.
+    Host (numpy) inputs pass through without touching the device -- round-
+    tripping them via jnp.asarray would be an eager complex transfer, which
+    the TPU backend cannot do."""
+    if not isinstance(x, jax.Array):
+        return np.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
         re, im = _split(x)
         return np.asarray(re) + 1j * np.asarray(im)
     return np.asarray(x)
