@@ -68,3 +68,29 @@ def test_native_solve_matches_golden(tokamak_cfg, golden_eigenvalues):
     ref = complex(*golden_eigenvalues["tok32"]["omega"])
     assert abs(om - ref) / abs(ref) < 1e-9
     assert steps == golden_eigenvalues["tok32"]["steps"]
+
+
+def test_em_tokamak_jax_matches_native(tokamak_cfg):
+    """Electromagnetic TOKAMAK (beta_e > 0 with tokamak geometry -- the
+    geometry x EM combination no reference golden covers): the JAX panel
+    assembly and the native adaptive assembly must agree on the full
+    2x2-block operator."""
+    import jax.numpy as jnp
+    from emme_tpu.grid import Grid
+    from emme_tpu.solvers import eigen
+
+    cfg = dict(tokamak_cfg, npoints=16, beta_e=0.015)
+    p = from_config(cfg)
+    assert p.electromagnetic
+    coeff_np = np.asarray(singularity_coeff_matrix(16))
+    M_native = native.assemble(p, coeff_np, complex(-0.8, 0.25))
+
+    grid = Grid.create(p.length, p.npoints)
+    coeff = singularity_coeff_matrix(16)
+    M_jax = np.asarray(eigen.assemble_matrix(
+        p, grid, coeff, jnp.complex128(-0.8 + 0.25j)))
+
+    assert M_jax.shape == M_native.shape == (32, 32)
+    scale = np.abs(M_native).max()
+    assert np.abs(M_jax - M_native).max() < 5e-6 * scale
+    assert np.median(np.abs(M_jax - M_native)) < 1e-9 * scale
