@@ -1,0 +1,81 @@
+"""Aux subsystems: named-section timer, provenance, binary matrix dumps,
+output.json structure (reference Timer.cpp:8-71, build_info.sh,
+main.cpp:202-330)."""
+import json
+import re
+import time
+
+import numpy as np
+import pytest
+
+from emme_tpu import driver
+from emme_tpu.utils import provenance
+from emme_tpu.utils.timer import Timer, section
+
+
+class TestTimer:
+    def test_accumulates_and_reports(self):
+        t = Timer()
+        t.start_timing("A")
+        time.sleep(0.01)
+        t.pause_timing("A")
+        t.start_timing("A")
+        time.sleep(0.01)
+        t.pause_timing("A")
+        assert t.timings()["A"] >= 0.02
+        rep = t.report()
+        assert "Time consumption" in rep and "| A" in rep
+
+    def test_pause_and_start_switches_section(self):
+        t = Timer()
+        t.start_timing("x")
+        t.pause_and_start("y")
+        time.sleep(0.005)
+        t.pause_timing("y")
+        assert set(t.timings()) == {"x", "y"}
+        assert t.timings()["y"] > 0
+
+    def test_section_context_manager(self):
+        Timer.get_timer().reset()
+        with section("ctx"):
+            time.sleep(0.005)
+        assert Timer.get_timer().timings()["ctx"] > 0
+
+
+class TestProvenance:
+    ISO = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}[+-]\d{2}:\d{2}$")
+
+    def test_date_string_iso_with_colon_tz(self):
+        # matches the reference get_date_string (functions.cpp:8-20)
+        assert self.ISO.match(provenance.date_string())
+
+    def test_build_time_format(self):
+        assert self.ISO.match(provenance.build_time())
+
+    def test_git_hash(self):
+        h = provenance.git_commit_hash()
+        assert h is None or re.match(r"^[0-9a-f]{40}$", h)
+
+
+def test_driver_binary_dump_and_output_structure(tmp_path, tokamak_cfg):
+    """Non-scan run writes eigenMatrics/eigenMatrix.bin as raw complex128
+    (reference main.cpp:61-63 layout) and output.json with the reference's
+    provenance keys and typed-array eigenvector."""
+    cfg = dict(tokamak_cfg, npoints=16)
+    out = driver.run(cfg, output_dir=tmp_path, verbose=False)
+
+    mfile = tmp_path / "eigenMatrics" / "eigenMatrix.bin"
+    assert mfile.exists()
+    M = np.fromfile(mfile, dtype=np.complex128)
+    assert M.shape == (16 * 16,)
+    assert np.isfinite(M.view(np.float64)).all()
+
+    with open(tmp_path / "output.json") as f:
+        doc = json.load(f)
+    for key in ("input", "git_commit_hash", "build_time", "run_time",
+                "result"):
+        assert key in doc
+    res = doc["result"]["(None)"]["scan_result"][0]
+    ev = res["eigenvector"]
+    assert len(ev) == 16 and len(ev[0]) == 2  # [[re, im], ...] typed array
+    assert isinstance(res["eigenvalue"], list) and len(res["eigenvalue"]) == 2
