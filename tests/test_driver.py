@@ -111,3 +111,22 @@ def test_checkpoint_resume(tmp_path, scan_cfg, monkeypatch):
 def test_unsupported_method():
     with pytest.raises(ValueError, match="not supported"):
         driver.run({"method": "magic"}, verbose=False)
+
+
+def test_scan_eigenvalues_match_reference_golden(tmp_path, tokamak_cfg,
+                                                 goldens_dir):
+    """Full scan parity vs the C++ reference: same 3-point eta_i scan
+    (omega continuation included) reproduces every point's eigenvalue
+    (golden from the rebuilt reference binary, 6 printed digits)."""
+    import json as _json
+    with open(goldens_dir / "scan_eta_i_tok32.json") as f:
+        gold = _json.load(f)
+    cfg = dict(tokamak_cfg, npoints=32)
+    cfg["eta_i"] = {"head": 3.0, "step": 0.25, "tail": 3.5}
+    out = driver.run(cfg, output_dir=tmp_path, verbose=False)
+    res = out["result"]["eta_i"]
+    assert res["scan_values"] == gold["scan_values"]
+    for mine, ref in zip(res["scan_result"], gold["eigenvalues"]):
+        om = complex(*mine["eigenvalue"])
+        rom = complex(*ref)
+        assert abs(om - rom) / abs(rom) < 2e-5  # golden printed to 6 digits
