@@ -130,3 +130,22 @@ def test_scan_eigenvalues_match_reference_golden(tmp_path, tokamak_cfg,
         om = complex(*mine["eigenvalue"])
         rom = complex(*ref)
         assert abs(om - rom) / abs(rom) < 2e-5  # golden printed to 6 digits
+
+
+def test_two_tail_scan_matches_reference_golden(tmp_path, tokamak_cfg,
+                                                goldens_dir):
+    """Bidirectional (two-tail) scan parity vs the C++ reference: the walk
+    order (head -> left tail, flip, head+step -> right tail), the omega
+    re-seeding from the first result at the flip, and every eigenvalue."""
+    import json as _json
+    with open(goldens_dir / "scan_eta_i_twotail_tok32.json") as f:
+        gold = _json.load(f)
+    cfg = dict(tokamak_cfg, npoints=32)
+    cfg["eta_i"] = {"head": 3.0, "step": 0.25, "tail": [2.5, 3.5]}
+    out = driver.run(cfg, output_dir=tmp_path, verbose=False)
+    res = out["result"]["eta_i"]
+    assert res["scan_values"] == gold["scan_values"]
+    for mine, ref in zip(res["scan_result"], gold["eigenvalues"]):
+        om = complex(*mine["eigenvalue"])
+        rom = complex(*ref)
+        assert abs(om - rom) / abs(rom) < 2e-5
