@@ -135,7 +135,11 @@ def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
     if matrix_file is not None:
         fetch(fields).astype(np.complex128).tofile(matrix_file)
 
-    omega = pic.calculate_omega(np.asarray(stats), dt)
+    # omega_fit: "peak" reproduces the reference's peak-count fit (unsigned
+    # frequency, solver_pic.h:514-527); "fft" resolves the frequency sign.
+    fit = {"peak": pic.calculate_omega, "fft": pic.calculate_omega_fft}[
+        cfg.get("omega_fit", "peak")]
+    omega = fit(np.asarray(stats), dt)
     result = {
         "eigenvalue": [omega.real, omega.imag],
         "eigenvector": _typed_array(state.field),

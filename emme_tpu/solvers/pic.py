@@ -358,6 +358,21 @@ def run(p, marker_per_cell: int, n_steps: int, dt, key=None,
     return stats, s_final, fields
 
 
+def _fit_gamma(second, dt):
+    """LSQ slope of log rms(phi) over the (already-halved) window — the
+    closed form of solver_pic.h:490-501.  NB the reference pairs weights
+    t_i = i*dt (starting at 0) with the (nn+1) coefficient that belongs to
+    t_i = (i+1)*dt, which biases gamma by -12*intercept/(dt*nn*(nn^2-1));
+    reproduced faithfully here (calculate_omega_fft uses the unbiased fit)."""
+    vals = np.log(second[:, 2])
+    t = dt * np.arange(len(vals))
+    weighted_sum = float(np.sum(vals * t))
+    ssum = float(np.sum(vals))
+    nn = len(vals)
+    return (6.0 * (2.0 * weighted_sum - dt * ssum * (nn + 1))
+            / (dt * dt * nn * (nn * nn - 1)))
+
+
 def calculate_omega(stats, dt):
     """gamma from the LSQ slope of log rms(phi) over the second half; omega
     from peak spacing of log|mean Re phi| (solver_pic.h:475-529, the
@@ -365,13 +380,7 @@ def calculate_omega(stats, dt):
     stats = np.asarray(stats)
     n = len(stats) // 2
     second = stats[n:]
-    vals = np.log(second[:, 2])
-    t = dt * np.arange(len(vals))
-    weighted_sum = float(np.sum(vals * t))
-    ssum = float(np.sum(vals))
-    nn = len(vals)
-    gamma = (6.0 * (2.0 * weighted_sum - dt * ssum * (nn + 1))
-             / (dt * dt * nn * (nn * nn - 1)))
+    gamma = _fit_gamma(second, dt)
 
     real_log = np.log(np.abs(second[:, 0]))
     peaks = [i for i in range(1, len(real_log) - 1)
@@ -379,6 +388,45 @@ def calculate_omega(stats, dt):
     omega = 0.0
     if len(peaks) > 1:
         omega = np.pi * (len(peaks) - 1) / (dt * (peaks[-1] - peaks[0]))
+    return complex(omega, gamma)
+
+
+def calculate_omega_fft(stats, dt, pad: int = 16):
+    """Sign-resolving FFT variant of the omega fit.
+
+    The reference's peak-counting fit cannot determine the sign of the real
+    frequency (its own FIXME at solver_pic.h:514-527 suggests exactly this
+    fix).  Here the complex mean field phi_bar(t) = <Re phi> + i <Im phi>
+    over the second half is growth-flattened by the fitted gamma, Hann
+    windowed, zero-padded, and the dominant spectral line is refined by
+    parabolic interpolation of log|F|.  A mode evolving as
+    e^{-i omega_r t + gamma t} lands at FFT frequency f = -omega_r / 2 pi,
+    so the returned real part carries the physical sign and matches the
+    eigen-method eigenvalue's convention.  gamma uses the unbiased LSQ slope
+    (not the reference's intercept-biased closed form, see _fit_gamma)."""
+    stats = np.asarray(stats)
+    n = len(stats) // 2
+    second = stats[n:]
+    t_fit = dt * np.arange(len(second))
+    gamma = float(np.polyfit(t_fit, np.log(second[:, 2]), 1)[0])
+
+    m = len(second)
+    t = dt * np.arange(m)
+    sig = (second[:, 0] + 1j * second[:, 1]) * np.exp(-gamma * t)
+    sig = sig * np.hanning(m)
+    nfft = pad * m
+    F = np.fft.fft(sig, n=nfft)
+    mag = np.abs(F)
+    k = int(np.argmax(mag))
+    # parabolic (quadratic-log) interpolation around the peak bin
+    km, kp = (k - 1) % nfft, (k + 1) % nfft
+    lm, l0, lp = np.log(mag[km]), np.log(mag[k]), np.log(mag[kp])
+    denom = lm - 2.0 * l0 + lp
+    delta = 0.5 * (lm - lp) / denom if denom != 0.0 else 0.0
+    f_peak = (k + delta) / (nfft * dt)
+    if k + delta > nfft / 2:  # wrap to the negative-frequency branch
+        f_peak -= 1.0 / dt
+    omega = -2.0 * np.pi * f_peak
     return complex(omega, gamma)
 
 

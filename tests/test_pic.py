@@ -130,6 +130,37 @@ def test_pic_statistical_golden(tokamak_cfg, golden_eigenvalues):
     assert abs(om.real - ref.real) / abs(ref.real) < 0.05   # |frequency|
 
 
+def test_calculate_omega_fft_synthetic():
+    """The FFT fit recovers a known signed frequency and growth rate from a
+    synthetic e^{(gamma - i omega) t} stats series (including negative and
+    positive omega), where the reference's peak-count fit is unsigned."""
+    dt, n = 0.25, 200
+    t = dt * np.arange(n)
+    for om_true in (-0.83, 0.61):
+        gam_true = 0.2
+        phi = np.exp((gam_true - 1j * om_true) * t) * (0.3 - 0.1j)
+        stats = np.stack([phi.real, phi.imag, np.abs(phi)], axis=1)
+        om = pic.calculate_omega_fft(stats, dt)
+        assert om.imag == pytest.approx(gam_true, rel=1e-6)
+        assert om.real == pytest.approx(om_true, rel=5e-3)
+        # the peak-count fit sees only |omega|
+        om_peak = pic.calculate_omega(stats, dt)
+        assert om_peak.real == pytest.approx(abs(om_true), rel=0.05)
+
+
+@pytest.mark.slow
+def test_pic_fft_omega_sign_matches_eigen(tokamak_cfg, golden_eigenvalues):
+    """On the real 256x256 run the FFT fit must agree with the peak-count
+    fit in magnitude AND carry the eigen-method eigenvalue's sign."""
+    cfg = dict(tokamak_cfg, npoints=256, marker_per_cell=256)
+    p = from_config(cfg)
+    stats, _, _ = pic.run(p, 256, 180, 0.25, key=jax.random.PRNGKey(42))
+    om = pic.calculate_omega_fft(np.asarray(stats), 0.25)
+    ref_pic = complex(*golden_eigenvalues["pic_tok256"]["omega"])
+    assert abs(abs(om.real) - ref_pic.real) / ref_pic.real < 0.05
+    assert om.real < 0  # eigen golden frequency is negative
+
+
 def test_step_adaptive(pic_params):
     """Adaptive halving/doubling with rollback (solver_pic.h:437-457)."""
     p = pic_params
