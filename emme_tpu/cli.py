@@ -29,6 +29,10 @@ def main(argv=None):
                     help="disable scan checkpoint/resume")
     ap.add_argument("--chunk", type=int, default=2048,
                     help="assembly pair-chunk size")
+    ap.add_argument("--scan-workers", type=int, default=1,
+                    help="device-parallel scan: fan this many concurrent "
+                         "scan points out over the available devices "
+                         "(disables eigenvalue continuation)")
     ap.add_argument("-q", "--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -45,7 +49,8 @@ def main(argv=None):
     dtype = jnp.float32 if args.f32 else jnp.float64
     driver.run(args.input, output_dir=args.output_dir, dtype=dtype,
                checkpoint=not args.no_checkpoint, verbose=not args.quiet,
-               chunk=args.chunk, host64=args.host64)
+               chunk=args.chunk, host64=args.host64,
+               scan_workers=args.scan_workers)
     return 0
 
 

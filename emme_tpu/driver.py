@@ -10,15 +10,19 @@ from the first result; failures record ``{"eigenvalue": "NaN", "reason"}``
 and the scan continues (main.cpp:262-324).
 
 Additions over the reference: checkpoint/resume of completed scan points, a
-selectable output directory, and structured per-point timing.
+selectable output directory, structured per-point timing, and a
+device-parallel scan mode (``scan_workers > 1``) that fans independent scan
+points out over the available devices.
 """
 
 from __future__ import annotations
 
+import concurrent.futures
 import json
 import math
 import os
 import pathlib
+import threading
 
 import numpy as np
 import jax
@@ -150,9 +154,58 @@ def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
 _SOLVERS = {"eigen": solve_once_eigen, "PIC": solve_once_pic}
 
 
+def _run_scan_parallel(solver, input_cfg, key, spec, guess, outdir, done,
+                       record_ckpt, scan_workers, verbose, solver_kw):
+    """Device-parallel scan: independent scan points fan out over the
+    available devices (the SURVEY §2 plan's embarrassingly-parallel scan
+    axis, realized at driver level).
+
+    Unlike the sequential walk there is no eigenvalue continuation — every
+    point seeds from the user guess — so this mode suits scans where the
+    guess converges everywhere (it keeps the per-point NaN fault capture
+    for the rest).  jax.default_device is a thread-local config context, so
+    each worker pins its arrays (and hence its jitted executions) to its
+    own device; compiled executables are shared across workers."""
+    devices = jax.devices()
+    values, _ = scan_values(spec)
+    cfg0 = filter_input(input_cfg)
+    lock = threading.Lock()
+
+    def solve_point(i_value):
+        i, value = i_value
+        ck = f"{key}={value!r}"
+        with lock:
+            if ck in done:
+                return i, value, done[ck]
+        cfg = dict(cfg0)
+        cfg[key] = value
+        mfile = outdir / "eigenMatrics" / f"{key}Eq{value:.6f}.bin"
+        with jax.default_device(devices[i % len(devices)]):
+            try:
+                res, _ = solver(cfg, guess, matrix_file=mfile, **solver_kw)
+                res["eigenMatrix"] = str(mfile)
+                res["scan_value"] = value
+            except Exception as e:  # scan-level fault tolerance
+                res = {"eigenvalue": "NaN", "reason": str(e)}
+        with lock:
+            done[ck] = res
+            record_ckpt()
+            if verbose:
+                print(f"    {key}:{value}  ->  {res.get('eigenvalue')}")
+        return i, value, res
+
+    with concurrent.futures.ThreadPoolExecutor(scan_workers) as ex:
+        results = list(ex.map(solve_point, enumerate(values)))
+    results.sort(key=lambda r: r[0])
+    return {"scan_key": key,
+            "scan_values": [v for _, v, _ in results],
+            "scan_result": [r for _, _, r in results]}
+
+
 def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
         dtype=jnp.float64, checkpoint: bool = True, verbose: bool = True,
-        quad=None, chunk: int = 2048, host64: bool = False) -> dict:
+        quad=None, chunk: int = 2048, host64: bool = False,
+        scan_workers: int = 1) -> dict:
     """Execute the full (possibly scanning) job; writes output.json and
     binary matrix dumps under ``output_dir``; returns the result object."""
     if not isinstance(input_cfg, dict):
@@ -202,6 +255,15 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
                         quad=quad, chunk=chunk, host64=host64)
         unit["scan_result"].append(res)
         result["result"]["(None)"] = unit
+    elif scan_workers > 1:
+        solver_kw = dict(dtype=dtype, quad=quad, chunk=chunk, host64=host64)
+        for key, spec in scan_config.items():
+            if verbose:
+                print(f"\nScanning {key} ({scan_workers} workers, "
+                      f"{len(jax.devices())} devices)")
+            result["result"][key] = _run_scan_parallel(
+                solver, input_cfg, key, spec, guess, outdir, done,
+                record_ckpt, scan_workers, verbose, solver_kw)
     else:
         for key, spec in scan_config.items():
             cfg = filter_input(input_cfg)

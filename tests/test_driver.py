@@ -132,6 +132,56 @@ def test_scan_eigenvalues_match_reference_golden(tmp_path, tokamak_cfg,
         assert abs(om - rom) / abs(rom) < 2e-5  # golden printed to 6 digits
 
 
+def test_parallel_scan_order_faults_and_checkpoint(tmp_path, scan_cfg,
+                                                   monkeypatch):
+    """scan_workers > 1: results come back in walk order, per-point fault
+    capture still applies, and the checkpoint records completed points."""
+    solver, calls = _fake_solver(fail_on=2.0)
+    monkeypatch.setitem(driver._SOLVERS, "eigen", solver)
+    res = driver.run(scan_cfg, output_dir=tmp_path, verbose=False,
+                     scan_workers=3)
+    unit = res["result"]["x"]
+    assert unit["scan_values"] == [1.0, 2.0, 3.0]
+    evs = [r["eigenvalue"] for r in unit["scan_result"]]
+    assert evs == [[1.0, 0.1], "NaN", [3.0, 0.1]]
+    assert unit["scan_result"][1]["reason"] == "synthetic failure"
+    assert sorted(calls) == [1.0, 2.0, 3.0]
+    assert not (tmp_path / "checkpoint.json").exists()
+
+
+def test_parallel_scan_resumes_from_checkpoint(tmp_path, scan_cfg,
+                                               monkeypatch):
+    solver1, _ = _fake_solver()
+    monkeypatch.setitem(driver._SOLVERS, "eigen", solver1)
+    (tmp_path / "eigenMatrics").mkdir(parents=True)
+    with open(tmp_path / "checkpoint.json", "w") as f:
+        json.dump({"x=1.0": {"eigenvalue": [9.0, 9.0]}}, f)
+    res = driver.run(scan_cfg, output_dir=tmp_path, verbose=False,
+                     scan_workers=2)
+    evs = [r["eigenvalue"] for r in res["result"]["x"]["scan_result"]]
+    assert evs == [[9.0, 9.0], [2.0, 0.1], [3.0, 0.1]]  # x=1 from checkpoint
+
+
+def test_parallel_scan_eigenvalues_match_reference_golden(tmp_path,
+                                                          tokamak_cfg,
+                                                          goldens_dir):
+    """The device-parallel scan (no continuation: every point seeds from the
+    user guess, spread over the virtual CPU devices) converges to the same
+    reference eigenvalues as the sequential walk on the 3-point eta_i scan."""
+    import json as _json
+    with open(goldens_dir / "scan_eta_i_tok32.json") as f:
+        gold = _json.load(f)
+    cfg = dict(tokamak_cfg, npoints=32)
+    cfg["eta_i"] = {"head": 3.0, "step": 0.25, "tail": 3.5}
+    out = driver.run(cfg, output_dir=tmp_path, verbose=False, scan_workers=3)
+    res = out["result"]["eta_i"]
+    assert res["scan_values"] == gold["scan_values"]
+    for mine, ref in zip(res["scan_result"], gold["eigenvalues"]):
+        om = complex(*mine["eigenvalue"])
+        rom = complex(*ref)
+        assert abs(om - rom) / abs(rom) < 2e-5
+
+
 def test_two_tail_scan_matches_reference_golden(tmp_path, tokamak_cfg,
                                                 goldens_dir):
     """Bidirectional (two-tail) scan parity vs the C++ reference: the walk
