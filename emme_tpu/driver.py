@@ -141,8 +141,12 @@ def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
 
     # omega_fit: "peak" reproduces the reference's peak-count fit (unsigned
     # frequency, solver_pic.h:514-527); "fft" resolves the frequency sign.
-    fit = {"peak": pic.calculate_omega, "fft": pic.calculate_omega_fft}[
-        cfg.get("omega_fit", "peak")]
+    fits = {"peak": pic.calculate_omega, "fft": pic.calculate_omega_fft}
+    fit_name = cfg.get("omega_fit", "peak")
+    if fit_name not in fits:
+        raise ValueError(
+            f"omega_fit must be one of {list(fits)}, got {fit_name!r}")
+    fit = fits[fit_name]
     omega = fit(np.asarray(stats), dt)
     result = {
         "eigenvalue": [omega.real, omega.imag],
@@ -189,9 +193,13 @@ def _run_scan_parallel(solver, input_cfg, key, spec, guess, outdir, done,
                 res = {"eigenvalue": "NaN", "reason": str(e)}
         with lock:
             done[ck] = res
-            record_ckpt()
+            snapshot = dict(done)  # shallow: completed entries are not mutated
             if verbose:
                 print(f"    {key}:{value}  ->  {res.get('eigenvalue')}")
+        # serialize OUTSIDE the lock: dumping full eigenvectors for every
+        # completed point is O(scan), and doing it under the global lock
+        # would serialize all workers on I/O
+        record_ckpt(snapshot)
         return i, value, res
 
     with concurrent.futures.ThreadPoolExecutor(scan_workers) as ex:
@@ -243,10 +251,15 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
 
     scan_config = {k: v for k, v in input_cfg.items() if _is_scan_spec(v)}
 
-    def record_ckpt():
+    def record_ckpt(snapshot=None):
         if checkpoint:
-            with open(ckpt_path, "w") as f:
-                json.dump(done, f)
+            data = done if snapshot is None else snapshot
+            # atomic replace: concurrent writers (scan_workers > 1) can't
+            # interleave partial JSON in the checkpoint file
+            tmp = ckpt_path.with_suffix(f".tmp{threading.get_ident()}")
+            with open(tmp, "w") as f:
+                json.dump(data, f)
+            os.replace(tmp, ckpt_path)
 
     if not scan_config:
         unit = {"scan_key": "(None)", "scan_result": []}

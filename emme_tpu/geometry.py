@@ -9,7 +9,7 @@ kernels with no runtime control flow.
 The stellarator closed form (``Parameters.cpp:248-393``) is an expanded
 Mathematica dump in the reference; here it is algebraically regrouped in terms
 of ``k = lh - mh*q`` (all groupings validated term-by-term against reference
-golden samples in ``tests/test_geometry.py``).
+golden samples in ``tests/test_kernels.py`` -- the ``test_geometry`` cases).
 """
 
 from __future__ import annotations
@@ -132,8 +132,10 @@ def _g_stellarator(p, alpha, eta):
 
 
 def _g_cylinder(p, alpha, eta):
-    """Reference Parameters.cpp:400-402: eta * average of cos+a x sin."""
-    return eta * cylinder_shat_coeff(p.shat)
+    """Reference Parameters.cpp:400-402: eta * average of cos+a x sin.
+    The average is precomputed once in ``params.from_config`` (mirroring the
+    reference Cylinder ctor) instead of re-running the bisection per trace."""
+    return eta * p.cyl_shat_coeff
 
 
 def _g_cylinder_old(p, alpha, eta):

@@ -15,8 +15,6 @@ import subprocess
 
 import numpy as np
 
-from . import geometry
-
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libemme_native.so"
 
@@ -106,8 +104,7 @@ def phys_from_params(p) -> _Phys:
     ph.integration_rel_tol = float(p.integration_precision)
     ph.precision_goal = float(p.integration_accuracy)
     ph.max_subdivide = int(p.integration_iteration_limit)
-    ph.cylinder_shat_coeff = float(
-        geometry.cylinder_shat_coeff(np.float64(p.shat))) \
+    ph.cylinder_shat_coeff = float(p.cyl_shat_coeff) \
         if p.conf == "cylinder" else 0.0
     return ph
 

@@ -24,6 +24,7 @@ _DYNAMIC_FIELDS = (
     "b_theta", "beta_e", "R", "vt", "omega_d_coeff", "length", "theta",
     "arc_coeff", "water_bag_weight_vpara", "water_bag_weight_vperp",
     "eta_k", "lh", "mh", "epsilon_h_t", "alpha_0", "r_over_R",
+    "cyl_shat_coeff",
 )
 
 _STATIC_FIELDS = (
@@ -61,6 +62,10 @@ class Params:
     epsilon_h_t: Any
     alpha_0: Any
     r_over_R: Any
+    # cylinder geometry's precomputed <cos + a x sin> average (the reference
+    # Cylinder ctor computes it once, Parameters.cpp:395-402); hoisted to
+    # from_config so traced g(eta) evaluations don't re-run the bisection
+    cyl_shat_coeff: Any = 0.0
     # --- static structure ---
     conf: str = "tokamak"
     npoints: int = 128
@@ -194,4 +199,9 @@ def from_config(cfg: dict, dtype=jnp.float64) -> Params:
         # stellarator-required keys (Parameters.cpp:211-223)
         for key in ("eta_k", "lh", "mh", "epsilon_h_t", "alpha_0", "r_over_R"):
             kwargs[key] = arr(get(key))
+    if conf == "cylinder":
+        # precompute the <cos + a x sin> average once, like the reference
+        # Cylinder ctor (Parameters.cpp:395-402)
+        kwargs["cyl_shat_coeff"] = arr(
+            geometry.cylinder_shat_coeff(arr(get("shat"))))
     return Params(**kwargs)

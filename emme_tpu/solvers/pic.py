@@ -287,8 +287,8 @@ def update(p, s: PICState, velocity, dt, qn_coef, density_reduce=None,
     """Push eta (periodic bound), advance weights, re-solve field
     (solver_pic.h:142-156, 393-396)."""
     eta = s.eta + s.v_para * dt / (p.q * p.R)
-    eta = jnp.mod(eta + p.length, 2.0 * p.length)
-    eta = jnp.where(eta < 0, eta + p.length, eta - p.length)
+    # periodic bound to [-L, L): jnp.mod already lands in [0, 2L)
+    eta = jnp.mod(eta + p.length, 2.0 * p.length) - p.length
     weight = s.weight + velocity * dt
     s = PICState(eta=eta, v_para=s.v_para, v_perp=s.v_perp, weight=weight,
                  omega_dv=s.omega_dv, omega_st=s.omega_st,
@@ -362,7 +362,8 @@ def _fit_gamma(second, dt):
     """LSQ slope of log rms(phi) over the (already-halved) window — the
     closed form of solver_pic.h:490-501.  NB the reference pairs weights
     t_i = i*dt (starting at 0) with the (nn+1) coefficient that belongs to
-    t_i = (i+1)*dt, which biases gamma by -12*intercept/(dt*nn*(nn^2-1));
+    t_i = (i+1)*dt, which biases gamma by -12*mean(vals)/(dt*(nn^2-1))
+    (equivalently -12*sum(vals)/(dt*nn*(nn^2-1)));
     reproduced faithfully here (calculate_omega_fft uses the unbiased fit)."""
     vals = np.log(second[:, 2])
     t = dt * np.arange(len(vals))

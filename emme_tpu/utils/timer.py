@@ -5,47 +5,66 @@ annotations for TPU timeline inspection."""
 
 from __future__ import annotations
 
+import threading
 import time
 
 
 class Timer:
+    """Thread-safe: the driver's device-parallel scan mode (scan_workers > 1)
+    enters/exits sections concurrently from worker threads; all mutation of
+    the shared accumulators is guarded by one lock, and a lost start/pause
+    race degrades to a no-op instead of a KeyError (which would otherwise be
+    mis-captured as a scan-point failure by the per-point fault tolerance)."""
+
     _instance = None
+    _instance_lock = threading.Lock()
 
     def __init__(self):
         self.entries: list[str] = []
         self._acc: dict[str, float] = {}
         self._started: dict[str, float] = {}
         self._current: str | None = None
+        self._lock = threading.RLock()
 
     @classmethod
     def get_timer(cls) -> "Timer":
-        if cls._instance is None:
-            cls._instance = Timer()
-        return cls._instance
+        with cls._instance_lock:
+            if cls._instance is None:
+                cls._instance = Timer()
+            return cls._instance
 
     def start_timing(self, name: str):
-        if name not in self._acc:
-            self._acc[name] = 0.0
-            self.entries.append(name)
-        self._started[name] = time.perf_counter()
-        self._current = name
+        with self._lock:
+            if name not in self._acc:
+                self._acc[name] = 0.0
+                self.entries.append(name)
+            self._started[name] = time.perf_counter()
+            self._current = name
 
     def pause_timing(self, name: str | None = None):
-        name = name if name is not None else self._current
-        if name in self._started:
-            self._acc[name] += time.perf_counter() - self._started.pop(name)
+        with self._lock:
+            name = name if name is not None else self._current
+            t0 = self._started.pop(name, None)
+            if t0 is not None:
+                self._acc[name] += time.perf_counter() - t0
 
     def pause_and_start(self, name: str):
-        self.pause_timing()
-        self.start_timing(name)
+        with self._lock:
+            self.pause_timing()
+            self.start_timing(name)
 
     def reset(self):
-        self.entries.clear()
-        self._acc.clear()
-        self._started.clear()
-        self._current = None
+        with self._lock:
+            self.entries.clear()
+            self._acc.clear()
+            self._started.clear()
+            self._current = None
 
     def report(self) -> str:
+        with self._lock:
+            return self._report_locked()
+
+    def _report_locked(self) -> str:
         if not self.entries:
             return "(no timings)"
         w = max(len(n) for n in self.entries)
@@ -62,7 +81,8 @@ class Timer:
         print(self.report())
 
     def timings(self) -> dict[str, float]:
-        return dict(self._acc)
+        with self._lock:
+            return dict(self._acc)
 
 
 class section:

@@ -41,6 +41,30 @@ class TestTimer:
             time.sleep(0.005)
         assert Timer.get_timer().timings()["ctx"] > 0
 
+    def test_concurrent_sections_thread_safe(self):
+        # scan_workers > 1 enters/exits the SAME section names from several
+        # threads; a racy pop used to raise KeyError and poison the scan
+        # point (ADVICE round 1).
+        import concurrent.futures
+
+        Timer.get_timer().reset()
+        errors = []
+
+        def worker(_):
+            try:
+                for _ in range(200):
+                    with section("Iteration"):
+                        pass
+                    with section("Output"):
+                        pass
+            except Exception as e:  # pragma: no cover - the regression
+                errors.append(e)
+
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            list(ex.map(worker, range(4)))
+        assert not errors
+        assert Timer.get_timer().timings()["Iteration"] >= 0
+
 
 class TestProvenance:
     ISO = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}[+-]\d{2}:\d{2}$")
