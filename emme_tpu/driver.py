@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from . import params as params_mod
-from .solvers import eigen, pic
+from .solvers import eigen, pic, sparse_eigen
 from .utils import provenance
 from .utils.transfer import fetch
 from .utils.timer import Timer, section
@@ -105,21 +105,45 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
     p = params_mod.from_config(cfg, dtype=dtype)
     tol = float(cfg.get("iteration_precision", 1e-6))
 
-    method = cfg.get("iteration_method", "TraceSecant")
+    backend = cfg.get("eigen_backend", "dense")
+    stats: dict = {}
     with section("Iteration"):
-        omega, vec, n_steps, state = eigen.solve(
-            p, omega_guess, tol=tol, quad=quad, chunk=chunk, method=method,
-            host64=host64)
+        if backend == "sparse":
+            # block-banded end-to-end path: the dense operator never exists
+            omega, vec, n_steps, state = sparse_eigen.solve(
+                p, omega_guess, tol=tol, quad=quad, chunk=chunk,
+                host64=host64,
+                band_deta=cfg.get("band_deta"),
+                block=cfg.get("band_block"),
+                m_krylov=int(cfg.get("m_krylov", 0)),
+                stats=stats)
+        elif backend == "dense":
+            method = cfg.get("iteration_method", "TraceSecant")
+            omega, vec, n_steps, state = eigen.solve(
+                p, omega_guess, tol=tol, quad=quad, chunk=chunk,
+                method=method, host64=host64)
+        else:
+            raise ValueError(
+                f"eigen_backend must be 'dense' or 'sparse', got {backend!r}")
 
     with section("Output"):
         if matrix_file is not None:
-            fetch(state.M).astype(np.complex128).tofile(matrix_file)
+            if backend == "sparse":
+                # banded dump: the BDIA planes (the dense matrix never
+                # existed); offsets/shape recoverable from the sidecar
+                fetch(state.M.data).astype(np.float64).tofile(matrix_file)
+            else:
+                fetch(state.M).astype(np.complex128).tofile(matrix_file)
 
     result = {
         "eigenvalue": [omega.real, omega.imag],
         "eigenvector": _typed_array(vec),
         "iteration_steps": n_steps,
     }
+    if stats:
+        result["sparse_stats"] = {
+            k: (v if not isinstance(v, complex) else [v.real, v.imag])
+            for k, v in stats.items()}
     return result, omega
 
 

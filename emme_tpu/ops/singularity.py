@@ -14,6 +14,9 @@ _COEFF = np.array([
     1.159722222222284,
 ])
 
+# half-width of the correction band (|i-j| <= 5 gets non-unit coefficients)
+SINGULAR_BAND_HALF_WIDTH = 5
+
 
 def singularity_coeff_matrix(n: int, dtype=jnp.float64):
     i = np.arange(n)
@@ -22,3 +25,17 @@ def singularity_coeff_matrix(n: int, dtype=jnp.float64):
     mat[:, 0] -= 0.5
     mat[:, n - 1] -= 0.5
     return jnp.asarray(mat, dtype=dtype)
+
+
+def singularity_coeff_band(n: int, h_el: int, dtype=jnp.float64):
+    """Banded storage of the same coefficients: (n, 2*h_el+1) with
+    band[i, dj + h_el] = coeff[i, i + dj].  O(n * band) memory -- the dense
+    (n, n) matrix never exists (used by the direct-to-sparse assembly)."""
+    dj = np.arange(-h_el, h_el + 1)
+    band = np.where(np.abs(dj) <= 5, _COEFF[np.minimum(np.abs(dj), 5)], 1.0)
+    band = np.broadcast_to(band, (n, 2 * h_el + 1)).copy()
+    i = np.arange(n)
+    j = i[:, None] + dj[None, :]
+    band[j == 0] -= 0.5
+    band[j == n - 1] -= 0.5
+    return jnp.asarray(band, dtype=dtype)

@@ -1,0 +1,426 @@
+"""Sparse (block-banded) end-to-end eigensolve: the BASELINE north-star path.
+
+The kernel-integral operator (reference assembly ``solver.h:417-515``) decays
+algebraically in |eta - eta'| while its eigenvectors are localized along the
+field line, so a banded truncation |eta - eta'| <= band_deta reproduces the
+eigenvalue to the reference's 1e-6 criterion at a fraction of the dense
+operator (validated against the dense-path goldens in
+tests/test_sparse_eigen.py).  This module never materializes the dense
+matrix:
+
+  * ``assemble_bdia`` evaluates kernel integrals ONLY for pairs inside the
+    kept block diagonals and lands them directly in BDIA block storage
+    (block size = the 128 MXU tile), exploiting the operator's complex
+    symmetry to mirror the lower diagonals for free.
+  * The eigensolve is shift-invert Arnoldi: B = M(sigma)^{-1} M'(sigma) with
+    the SpMV = ``ops.sparse.bdia_matvec`` (4 batched MXU einsums) and the
+    shifted solve = ``ops.banded`` block-banded LU.  Ritz values map back by
+    omega = sigma - 1/mu.
+  * Refinement is a bordered-Newton secant iteration on the smallest
+    singular pair (the banded analogue of the reference's QRSecant update,
+    solver.h:210-383): v from inverse iteration on the banded LU,
+    d_omega = -(v^T M v) / (v^T M' v); all operator applications are SpMVs.
+
+Peak memory is O(n * bandwidth), so grids the dense path cannot hold
+assemble and solve here (see benchmarks/bench_sparse_eigen.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..grid import Grid
+from ..ops import kernels
+from ..ops import banded
+from ..ops.singularity import (SINGULAR_BAND_HALF_WIDTH,
+                               singularity_coeff_band)
+from ..ops.sparse import BDIAOperator, bdia_matvec
+from . import eigen as eigen_mod
+from .arnoldi import arnoldi_factorization, ritz_from_hessenberg
+
+# Default banding cutoff |eta - eta'| <= band_deta.  20.0 keeps the dropped
+# pairs' eigenvalue influence below ~1e-7 relative on the canonical tokamak
+# (measured via the dense-path comparison in tests/test_sparse_eigen.py and
+# the n=128 banded-Newton sweep in BENCH_ASSEMBLY.md).
+DEFAULT_BAND_DETA = 20.0
+
+
+def pick_block(n: int, preferred: int = 128) -> int:
+    """Largest MXU-friendly block size dividing n."""
+    for bs in (preferred, 64, 32, 16, 8):
+        if bs <= n and n % bs == 0:
+            return bs
+    return n
+
+
+def band_halfwidth(p, grid: Grid, block: int, band_deta: float) -> int:
+    """Static block half-bandwidth h: every element pair with
+    |eta_i - eta_j| <= band_deta lies inside block offsets [-h, h].
+    Also never narrower than the singularity-handler band
+    (singularity_handler.cpp:3-24)."""
+    w_el = max(int(np.ceil(band_deta / float(grid.dx))),
+               SINGULAR_BAND_HALF_WIDTH)
+    nb = grid.npoints // block
+    return min(-(-w_el // block), nb - 1)
+
+
+# ---------------------------------------------------------------------------
+# plane helpers: BDIA data is (ndiag, nb, 2, bs, bs) real planes; complex
+# scalar algebra on operators happens plane-wise (the TPU backend implements
+# complex dtypes only elementwise, and the data never leaves real storage).
+# ---------------------------------------------------------------------------
+
+def _plane_scale(data, cr, ci):
+    """(re, im) planes * complex scalar (cr + i ci)."""
+    re = data[..., 0, :, :] * cr - data[..., 1, :, :] * ci
+    im = data[..., 0, :, :] * ci + data[..., 1, :, :] * cr
+    return jnp.stack([re, im], axis=-3)
+
+
+def bdia_secant(op_new: BDIAOperator, op_old: BDIAOperator, d_omega):
+    """(M_new - M_old) / d_omega on BDIA planes (solver.h:54-57)."""
+    dr = jnp.real(d_omega)
+    di = jnp.imag(d_omega)
+    inv = 1.0 / (dr * dr + di * di)
+    diff = op_new.data - op_old.data
+    return BDIAOperator(data=_plane_scale(diff, dr * inv, -di * inv),
+                        offsets=op_new.offsets, n=op_new.n,
+                        block=op_new.block)
+
+
+def _cdot_bilinear(vr, vi, wr, wi):
+    """v^T w (unconjugated, matching complex_bilinear) on planes."""
+    return (jnp.sum(vr * wr - vi * wi), jnp.sum(vr * wi + vi * wr))
+
+
+# ---------------------------------------------------------------------------
+# direct-to-BDIA assembly
+# ---------------------------------------------------------------------------
+
+def assemble_bdia(p, grid: Grid, coeff_band, omega, h: int, block: int,
+                  quad=None, chunk: int = 4096) -> BDIAOperator:
+    """Assemble the electrostatic operator directly into BDIA block storage.
+
+    Evaluates kernel integrals only for pairs in block diagonals 0..h (the
+    negative diagonals mirror by complex symmetry, solver.h:446-459:
+    M[j][i] = M[i][j]); the dense n x n matrix never exists.
+
+    coeff_band: (n, 2h'+1) banded singularity coefficients from
+    ``singularity_coeff_band`` -- row i, column (j - i + h') -- covering at
+    least the kept band.
+
+    Returns a BDIAOperator with offsets (-h..h).
+    """
+    if p.electromagnetic:
+        raise NotImplementedError(
+            "sparse path: electromagnetic banding lands with the interleaved "
+            "phi/A ordering; use the dense path (solvers.eigen) meanwhile")
+    n = grid.npoints
+    bs = block
+    nb = n // bs
+    dx = grid.dx
+    eta = grid.eta
+    rdtype = eta.dtype
+    cw = coeff_band.shape[1] // 2
+
+    def compute(args):
+        ea, eb = args
+        (vals), _ = kernels.kappa_f_tau(p, ea, eb, omega, ms=(0,), quad=quad)
+        return (vals[0],)
+
+    diag_val = 1.0 + 1.0 / p.tau
+
+    pos = []
+    for d in range(h + 1):
+        nrow = nb - d
+        I = np.arange(nrow)
+        a = np.arange(bs)
+        b = np.arange(bs)
+        i_idx = (I[:, None, None] * bs + a[None, :, None] +
+                 np.zeros((1, 1, bs), np.int64)).reshape(-1)
+        j_idx = ((I[:, None, None] + d) * bs + b[None, None, :] +
+                 np.zeros((1, bs, 1), np.int64)).reshape(-1)
+        eta_a = eta[i_idx]
+        eta_b = eta[j_idx]
+        if d == 0:
+            # dummy-shift the true diagonal so the integrand (which divides
+            # by eta - eta') stays finite; overwritten below.
+            eta_b = jnp.where(i_idx == j_idx, eta_a + dx, eta_b)
+        (k0,) = eigen_mod._chunked(compute, (eta_a, eta_b), len(i_idx), chunk)
+        # the reference assembles the upper triangle and mirrors the WHOLE
+        # entry including its coefficient (solver.h:446-459), so both
+        # triangles read coeff[min(i,j), max(i,j)]
+        lo = np.minimum(i_idx, j_idx)
+        dj = np.abs(j_idx - i_idx)
+        cvals = coeff_band[lo, np.minimum(dj, cw) + cw]
+        entries = -k0 * cvals * dx
+        blocks_r = jnp.real(entries).astype(rdtype).reshape(nrow, bs, bs)
+        blocks_i = jnp.imag(entries).astype(rdtype).reshape(nrow, bs, bs)
+        if d == 0:
+            eye = jnp.eye(bs, dtype=bool)
+            blocks_r = jnp.where(eye, jnp.asarray(diag_val, rdtype), blocks_r)
+            blocks_i = jnp.where(eye, jnp.asarray(0.0, rdtype), blocks_i)
+        blk = jnp.stack([blocks_r, blocks_i], axis=1)       # (nrow, 2, bs, bs)
+        if d:
+            blk = jnp.pad(blk, [(0, d), (0, 0), (0, 0), (0, 0)])
+        pos.append(blk)
+
+    # negative diagonals by symmetry: block(r, r-d) = block(r-d, r)^T
+    neg = []
+    for d in range(1, h + 1):
+        t = jnp.swapaxes(pos[d][:nb - d], -1, -2)
+        neg.append(jnp.pad(t, [(d, 0), (0, 0), (0, 0), (0, 0)]))
+
+    data = jnp.stack(neg[::-1] + pos)
+    return BDIAOperator(data=data, offsets=tuple(range(-h, h + 1)),
+                        n=n, block=bs)
+
+
+# ---------------------------------------------------------------------------
+# the solve
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SparseEigenState:
+    omega: Any
+    d_omega: Any
+    M: Any          # BDIAOperator at omega
+    dM: Any         # BDIAOperator (secant derivative)
+
+
+jax.tree_util.register_dataclass(
+    SparseEigenState, data_fields=["omega", "d_omega", "M", "dM"],
+    meta_fields=[])
+
+
+def _null_vector(lu, n, dtype, iters: int = 2):
+    """Inverse iteration on the banded LU: amplifies the near-null direction
+    by 1/sigma_min per solve (the TPU-native nullSpace, cf. solver.h:58-112)."""
+    vr = jnp.ones((n,), dtype)
+    vi = 0.3 * (jnp.arange(n, dtype=dtype) / n - 0.5)
+    for _ in range(iters):
+        vr, vi = banded.banded_solve(lu, vr, vi)
+        nrm = jnp.sqrt(jnp.sum(vr * vr + vi * vi))
+        vr, vi = vr / nrm, vi / nrm
+    return vr, vi
+
+
+def bordered_newton_step(p, grid, coeff_band, state: SparseEigenState,
+                         h: int, block: int, quad=None, chunk: int = 4096):
+    """One banded bordered-Newton (QR-secant analogue) step:
+    d_omega = -(v^T M v) / (v^T dM v) with v by banded inverse iteration."""
+    lu = banded.banded_lu(state.M)
+    vr, vi = _null_vector(lu, state.M.n, state.M.data.dtype)
+    Mvr, Mvi = bdia_matvec(state.M, vr, vi)
+    dMvr, dMvi = bdia_matvec(state.dM, vr, vi)
+    nr, ni = _cdot_bilinear(vr, vi, Mvr, Mvi)
+    dr, di = _cdot_bilinear(vr, vi, dMvr, dMvi)
+    num = nr + 1j * ni
+    den = dr + 1j * di
+    d_omega = -num / den
+    omega = state.omega + d_omega
+    M_new = assemble_bdia(p, grid, coeff_band, omega, h, block, quad, chunk)
+    dM = bdia_secant(M_new, state.M, d_omega)
+    return SparseEigenState(omega=omega, d_omega=d_omega, M=M_new, dM=dM)
+
+
+def init_state(p, grid, coeff_band, omega_init, h, block, quad=None,
+               chunk: int = 4096):
+    """Reference ctor seeding (solver.h:396-415), banded."""
+    omega_old = 0.99 * omega_init
+    d_omega = 0.01 * omega_init
+    M_old = assemble_bdia(p, grid, coeff_band, omega_old, h, block, quad, chunk)
+    omega = omega_old + d_omega
+    M = assemble_bdia(p, grid, coeff_band, omega, h, block, quad, chunk)
+    dM = bdia_secant(M, M_old, d_omega)
+    return SparseEigenState(omega=omega, d_omega=d_omega, M=M, dM=dM)
+
+
+def arnoldi_estimate(state: SparseEigenState, m_krylov: int):
+    """Jittable core of the shift-invert stage: banded LU of M(sigma) and an
+    m-step Arnoldi factorization of B = M^{-1} M', whose matvec is
+    bdia_matvec (MXU SpMV) + banded triangular solves."""
+    lu = banded.banded_lu(state.M)
+
+    def solve_B(xr, xi):
+        wr, wi = bdia_matvec(state.dM, xr, xi)
+        return banded.banded_solve(lu, wr, wi)
+
+    V, H = arnoldi_factorization(solve_B, state.M.n, m_krylov,
+                                 state.M.data.dtype)
+    return V, H
+
+
+def host64_polish_banded(p, grid, coeff_band, state: SparseEigenState,
+                         tol: float, h: int, block: int, max_steps: int = 8,
+                         quad=None, chunk: int = 4096):
+    """Hybrid refinement for f32 devices: device BANDED assembly + host
+    complex128 banded linear algebra (scipy splu with natural ordering keeps
+    the fill inside the band).  The banded twin of eigen.host64_polish --
+    peak host memory O(n * bandwidth)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from ..utils.transfer import fetch
+
+    def to_csc(op: BDIAOperator):
+        data = np.asarray(fetch(op.data), np.float64)
+        nb = op.n // op.block
+        bs = op.block
+        rows_blk = np.arange(nb)
+        mats = []
+        rr, cc = np.meshgrid(np.arange(bs), np.arange(bs), indexing="ij")
+        rows_l, cols_l, vals_l = [], [], []
+        for k, d in enumerate(op.offsets):
+            valid = rows_blk[(rows_blk + d >= 0) & (rows_blk + d < nb)]
+            blk = data[k, valid]          # (nv, 2, bs, bs)
+            r0 = valid[:, None, None] * bs + rr[None]
+            c0 = (valid + d)[:, None, None] * bs + cc[None]
+            rows_l.append(r0.ravel())
+            cols_l.append(c0.ravel())
+            vals_l.append((blk[:, 0] + 1j * blk[:, 1]).ravel())
+        A = sp.coo_matrix(
+            (np.concatenate(vals_l),
+             (np.concatenate(rows_l), np.concatenate(cols_l))),
+            shape=(op.n, op.n)).tocsc()
+        return A
+
+    def null_vec(lu, n):
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=n) + 1j * rng.normal(size=n)
+        for _ in range(3):
+            v = lu.solve(v)
+            v = v / np.linalg.norm(v)
+        return v
+
+    omega = eigen_mod.fetch_complex(state.omega)
+    A = to_csc(state.M)
+    dA = to_csc(state.dM)
+    steps = 0
+    v = None
+    for _ in range(max_steps):
+        lu = spla.splu(A, permc_spec="NATURAL")
+        v = null_vec(lu, A.shape[0])
+        d_omega = -(v @ (A @ v)) / (v @ (dA @ v))
+        omega = omega + d_omega
+        steps += 1
+        if abs(d_omega) < tol * abs(omega):
+            break
+        M_new = assemble_bdia(
+            p, grid, coeff_band,
+            jnp.asarray(omega.real, grid.eta.dtype)
+            + 1j * jnp.asarray(omega.imag, grid.eta.dtype),
+            h, block, quad, chunk)
+        A_new = to_csc(M_new)
+        dA = (A_new - A) / d_omega
+        A = A_new
+        v = None
+    if v is None:
+        v = null_vec(spla.splu(A, permc_spec="NATURAL"), A.shape[0])
+    return omega, v, steps
+
+
+_JIT_CACHE: dict = {}
+
+
+def _fns(h, block, quad, chunk, dtype):
+    qkey = tuple(sorted(quad.items())) if quad else None
+    key = (h, block, qkey, chunk, jnp.dtype(dtype).name)
+    if key not in _JIT_CACHE:
+        cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        init = jax.jit(lambda p, g, cb, re, im: init_state(
+            p, g, cb, (re + 1j * im).astype(cdtype), h, block, quad, chunk))
+        step = jax.jit(partial(bordered_newton_step, h=h, block=block,
+                               quad=quad, chunk=chunk))
+        _JIT_CACHE[key] = (init, step, jax.jit(
+            arnoldi_estimate, static_argnames=("m_krylov",)))
+    return _JIT_CACHE[key]
+
+
+def solve(p, omega_init, tol: float | None = None, quad=None,
+          chunk: int = 4096, dtype=None, band_deta: float | None = None,
+          block: int | None = None, m_krylov: int = 0,
+          host64: bool = False, stats: dict | None = None):
+    """Sparse end-to-end eigensolve.  Returns (omega, eigenvector, steps,
+    state); optionally fills ``stats`` with SpMV/assembly metrics.
+
+    m_krylov > 0 runs the shift-invert Arnoldi stage first (use when the
+    initial guess is far or several modes are wanted); the bordered-Newton
+    iteration then polishes to the reference criterion |d_omega| <
+    tol * |omega| (main.cpp:53-56).
+    """
+    tol = tol if tol is not None else 1e-6
+    dtype = dtype if dtype is not None else jnp.asarray(p.length).dtype
+    band_deta = band_deta if band_deta is not None else DEFAULT_BAND_DETA
+    grid = Grid.create(p.length, p.npoints, dtype=dtype)
+    block = block if block is not None else pick_block(p.npoints)
+    h = band_halfwidth(p, grid, block, band_deta)
+    w_el = (h + 1) * block - 1
+    coeff_band = singularity_coeff_band(p.npoints, w_el, dtype=dtype)
+
+    init, step, arnoldi_jit = _fns(h, block, quad, chunk, dtype)
+    omega_init = complex(omega_init)
+    state = init(p, grid, coeff_band,
+                 jnp.asarray(omega_init.real, dtype),
+                 jnp.asarray(omega_init.imag, dtype))
+
+    if m_krylov:
+        t0 = time.time()
+        _V, (Hr, Hi) = arnoldi_jit(state, m_krylov=m_krylov)
+        jax.block_until_ready(Hr)
+        t_arnoldi = time.time() - t0
+        omegas, _ = ritz_from_hessenberg(
+            (Hr, Hi), eigen_mod.fetch_complex(state.omega), m_krylov)
+        est = complex(omegas[0])
+        if np.isfinite(est.real) and np.isfinite(est.imag):
+            # re-seed the Newton polish from the Arnoldi estimate
+            state = init(p, grid, coeff_band,
+                         jnp.asarray(est.real, dtype),
+                         jnp.asarray(est.imag, dtype))
+        if stats is not None:
+            stats["arnoldi_s"] = t_arnoldi
+            stats["arnoldi_omega"] = est
+
+    dev_tol = max(tol, 2e-4) if host64 else tol
+    n_steps = 0
+    for j in range(p.iteration_step_limit + 1):
+        state = step(p, grid, coeff_band, state)
+        n_steps = j + 1
+        if abs(eigen_mod.fetch_complex(state.d_omega)) < \
+                dev_tol * abs(eigen_mod.fetch_complex(state.omega)):
+            break
+
+    if stats is not None:
+        stats["nnz"] = state.M.nnz
+        stats["block"] = block
+        stats["h"] = h
+        stats["band_fraction"] = state.M.nnz / (state.M.n ** 2)
+        # live-operator SpMV rate (the BASELINE nnz/s metric, measured on
+        # the operator the solve actually used)
+        xr = jnp.ones((state.M.n,), dtype)
+        xi = jnp.zeros((state.M.n,), dtype)
+        mv = jax.jit(bdia_matvec)
+        jax.block_until_ready(mv(state.M, xr, xi))
+        t0 = time.time()
+        reps = 20
+        for _ in range(reps):
+            yr, yi = mv(state.M, xr, xi)
+        jax.block_until_ready((yr, yi))
+        stats["spmv_nnz_per_s"] = state.M.nnz * reps / (time.time() - t0)
+
+    if host64:
+        omega, v, extra = host64_polish_banded(
+            p, grid, coeff_band, state, tol, h, block, quad=quad, chunk=chunk)
+        return omega, v, n_steps + extra, state
+
+    lu = banded.banded_lu(state.M)
+    vr, vi = _null_vector(lu, state.M.n, state.M.data.dtype, iters=3)
+    vec = np.asarray(vr) + 1j * np.asarray(vi)
+    return eigen_mod.fetch_complex(state.omega), vec, n_steps, state

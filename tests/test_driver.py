@@ -199,3 +199,27 @@ def test_two_tail_scan_matches_reference_golden(tmp_path, tokamak_cfg,
         om = complex(*mine["eigenvalue"])
         rom = complex(*ref)
         assert abs(om - rom) / abs(rom) < 2e-5
+
+
+def test_driver_sparse_backend_matches_golden(tmp_path, tokamak_cfg,
+                                              golden_eigenvalues):
+    """eigen_backend='sparse' routes through the block-banded path end to
+    end (assembly -> banded LU -> bordered Newton) and reproduces the
+    reference eigenvalue; output carries the sparse stats + banded dump."""
+    cfg = dict(tokamak_cfg, npoints=32)
+    cfg["eigen_backend"] = "sparse"
+    cfg["band_block"] = 8
+    out = driver.run(cfg, output_dir=tmp_path, verbose=False)
+    res = out["result"]["(None)"]["scan_result"][0]
+    om = complex(*res["eigenvalue"])
+    ref = complex(*golden_eigenvalues["tok32"]["omega"])
+    assert abs(om - ref) / abs(ref) < 2e-6
+    assert res["sparse_stats"]["nnz"] < 32 * 32
+    assert (tmp_path / "eigenMatrics" / "eigenMatrix.bin").exists()
+
+
+def test_driver_bad_backend_raises(tokamak_cfg, tmp_path):
+    cfg = dict(tokamak_cfg, npoints=32)
+    cfg["eigen_backend"] = "magic"
+    with pytest.raises(ValueError, match="eigen_backend"):
+        driver.run(cfg, output_dir=tmp_path, verbose=False)

@@ -1,0 +1,109 @@
+"""Sparse (block-banded, never-dense) eigensolve path vs the dense path and
+the reference goldens."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from emme_tpu import from_config
+from emme_tpu.grid import Grid
+from emme_tpu.ops.singularity import (singularity_coeff_band,
+                                      singularity_coeff_matrix)
+from emme_tpu.solvers import eigen, sparse_eigen
+
+
+def test_singularity_coeff_band_matches_matrix():
+    n, h = 64, 9
+    cb = np.asarray(singularity_coeff_band(n, h))
+    cm = np.asarray(singularity_coeff_matrix(n))
+    for i in (0, 1, 30, 62, 63):
+        for dj in range(-h, h + 1):
+            j = i + dj
+            if 0 <= j < n:
+                assert cb[i, dj + h] == cm[i, j]
+
+
+def test_assemble_bdia_matches_dense_band(tokamak_cfg):
+    cfg = dict(tokamak_cfg, npoints=64)
+    p = from_config(cfg)
+    grid = Grid.create(p.length, p.npoints)
+    coeff = singularity_coeff_matrix(64)
+    om = jnp.complex128(-0.8 + 0.25j)
+    M = np.asarray(eigen.assemble_matrix(p, grid, coeff, om, chunk=512))
+    bs, h = 16, 2
+    cband = singularity_coeff_band(64, (h + 1) * bs - 1)
+    op = sparse_eigen.assemble_bdia(p, grid, cband, om, h, bs, chunk=512)
+    data = np.asarray(op.data)
+    nb = 64 // bs
+    Mb = M.reshape(nb, bs, nb, bs).transpose(0, 2, 1, 3)
+    for k, d in enumerate(op.offsets):
+        for r in range(nb):
+            c = r + d
+            if 0 <= c < nb:
+                got = data[k, r, 0] + 1j * data[k, r, 1]
+                np.testing.assert_allclose(got, Mb[r, c], atol=1e-13)
+            else:
+                assert not data[k, r].any()  # zero padding
+
+
+def test_sparse_solve_tok32_golden(golden_eigenvalues, tokamak_cfg):
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    stats = {}
+    om, vec, steps, state = sparse_eigen.solve(
+        p, -0.8 + 0.25j, tol=1e-6, block=8, band_deta=20.0, stats=stats)
+    ref = complex(*golden_eigenvalues["tok32"]["omega"])
+    assert abs(om - ref) / abs(ref) < 2e-6
+    # the dense operator never existed; the stored band is a strict subset
+    assert stats["nnz"] < 32 * 32
+    assert stats["spmv_nnz_per_s"] > 0
+    # eigenvector correlates with the dense-path golden
+    gv = np.fromfile("tests/goldens/eigenvector_tok32.bin", np.complex128)
+    corr = abs(np.vdot(gv, vec)) / (np.linalg.norm(gv) * np.linalg.norm(vec))
+    assert corr > 1 - 1e-5
+
+
+def test_sparse_solve_arnoldi_stage_recovers_far_guess(golden_eigenvalues,
+                                                       tokamak_cfg):
+    """From a deliberately bad guess, the shift-invert Arnoldi stage must
+    pull omega into the right basin before the Newton polish."""
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    stats = {}
+    om, _vec, _steps, _state = sparse_eigen.solve(
+        p, -0.45 + 0.65j, tol=1e-6, block=8, band_deta=20.0,
+        m_krylov=16, stats=stats)
+    ref = complex(*golden_eigenvalues["tok32"]["omega"])
+    assert abs(om - ref) / abs(ref) < 2e-6
+    # the shift-invert linearization is first-order in (omega - sigma), so
+    # from far away the Ritz value is an improvement, not an answer
+    est = stats["arnoldi_omega"]
+    assert abs(est - ref) < 0.8 * abs(complex(-0.45, 0.65) - ref)
+
+
+def test_host64_polish_banded_tok32(golden_eigenvalues, tokamak_cfg):
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    om, vec, steps, _ = sparse_eigen.solve(
+        p, -0.8 + 0.25j, tol=1e-6, block=8, band_deta=20.0, host64=True)
+    ref = complex(*golden_eigenvalues["tok32"]["omega"])
+    assert abs(om - ref) / abs(ref) < 2e-6
+    assert np.linalg.norm(vec) == pytest.approx(1.0, rel=1e-6)
+
+
+def test_bdia_secant_matches_dense_secant(tokamak_cfg):
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    grid = Grid.create(p.length, p.npoints)
+    bs, h = 8, 3
+    cband = singularity_coeff_band(32, (h + 1) * bs - 1)
+    om1 = jnp.complex128(-0.8 + 0.25j)
+    dom = jnp.complex128(0.01 * (-0.8 + 0.25j))
+    A = sparse_eigen.assemble_bdia(p, grid, cband, om1, h, bs)
+    B = sparse_eigen.assemble_bdia(p, grid, cband, om1 + dom, h, bs)
+    dM = sparse_eigen.bdia_secant(B, A, dom)
+    got = np.asarray(dM.data[:, :, 0]) + 1j * np.asarray(dM.data[:, :, 1])
+    expect = ((np.asarray(B.data[:, :, 0]) + 1j * np.asarray(B.data[:, :, 1]))
+              - (np.asarray(A.data[:, :, 0]) + 1j * np.asarray(A.data[:, :, 1]))
+              ) / complex(dom)
+    np.testing.assert_allclose(got, expect, atol=1e-12)
