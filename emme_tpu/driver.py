@@ -116,6 +116,7 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
                 band_deta=cfg.get("band_deta"),
                 block=cfg.get("band_block"),
                 m_krylov=int(cfg.get("m_krylov", 0)),
+                method=cfg.get("iteration_method", "TraceSecant"),
                 stats=stats)
         elif backend == "dense":
             method = cfg.get("iteration_method", "TraceSecant")

@@ -171,3 +171,83 @@ def banded_solve(lu: BandedLU, xr, xi):
     if vec:
         zr, zi = zr[:, 0], zi[:, 0]
     return zr, zi
+
+
+def _ct(blk):
+    """Transpose (NOT conjugated) of a (2, bs, bs) complex plane block."""
+    return jnp.swapaxes(blk, -1, -2)
+
+
+def banded_selected_inverse(lu: BandedLU):
+    """Upper-band blocks of Z = M^{-1} for complex-SYMMETRIC banded M, by
+    block Takahashi recurrences on the banded LU (selected inversion).
+
+    The Newton-trace update of the reference eigensolve needs
+    tr(M^{-1} dM) (solver.h:113-160); dM is banded, so only the entries of
+    M^{-1} INSIDE the band are required -- and those close on themselves:
+    with M = L D U~ (U~ unit upper, from the stored non-unit U via
+    U~_ik = D_i^{-1} U_ik),
+
+        Z_ij = -sum_{k=i+1..i+h} U~_ik Z_kj          (j > i)
+        Z_ii = D_i^{-1} - sum_{k=i+1..i+h} U~_ik Z_ki
+
+    evaluated backward from the bottom-right corner; every Z on the right
+    lies in the band below/right of (i, j), and lower entries mirror by the
+    symmetry Z_kj = Z_jk^T.  Cost O(nb h^2) block matmuls -- same order as
+    the factorization itself, so the trace never densifies anything.
+
+    Returns Zu: (nb, h+1, 2, bs, bs) with Zu[i, d] = Z_{i, i+d}
+    (zero-padded past the bottom edge).
+    """
+    nb, bs, h = lu.nb, lu.block, lu.h
+    W, invD = lu.W, lu.invD
+
+    def step(win, i):
+        # win[t] = Zu row (i + 1 + t), t = 0..h-1 (zeros beyond the edge)
+        row_w = jax.lax.dynamic_index_in_dim(W, i, axis=0, keepdims=False)
+        iD = jax.lax.dynamic_index_in_dim(invD, i, axis=0, keepdims=False)
+        ut = [_cmm(iD, row_w[h + dk]) for dk in range(1, h + 1)]
+
+        z_row = [None] * (h + 1)
+        for dj in range(h, 0, -1):          # Z_{i, i+dj}
+            acc = jnp.zeros_like(iD)
+            for dk in range(1, h + 1):
+                if dj >= dk:
+                    zkj = win[dk - 1][dj - dk]
+                else:
+                    zkj = _ct(win[dj - 1][dk - dj])   # mirror: Z symmetric
+                acc = acc + _cmm(ut[dk - 1], zkj)
+            z_row[dj] = -acc
+        acc = jnp.zeros_like(iD)
+        for dk in range(1, h + 1):
+            acc = acc + _cmm(ut[dk - 1], _ct(z_row[dk]))
+        z_row[0] = iD - acc
+
+        z_row = jnp.stack(z_row)            # (h+1, 2, bs, bs)
+        new_win = jnp.concatenate([z_row[None], win[:-1]], axis=0) if h \
+            else win
+        return new_win, z_row
+
+    win0 = jnp.zeros((h, h + 1, 2, bs, bs), W.dtype)
+    _, z_rows = jax.lax.scan(step, win0, jnp.arange(nb - 1, -1, -1))
+    return z_rows[::-1]
+
+
+def banded_trace_product(Zu, op):
+    """tr(M^{-1} A) for complex-symmetric banded M (Zu from
+    ``banded_selected_inverse``) and complex-symmetric BDIAOperator A:
+    since both are symmetric, tr(Z A) = sum_{(i,j) in band} Z_ij (*) A_ij
+    elementwise -- diagonal block-column once, off-diagonal columns twice.
+
+    Returns the complex scalar as (re, im).
+    """
+    h = max(op.offsets)
+    tr_r = jnp.asarray(0.0, Zu.dtype)
+    tr_i = jnp.asarray(0.0, Zu.dtype)
+    for d in range(h + 1):
+        A = op.data[op.offsets.index(d)]     # (nb, 2, bs, bs)
+        Z = Zu[:, d]
+        w = 1.0 if d == 0 else 2.0
+        tr_r = tr_r + w * jnp.sum(Z[:, 0] * A[:, 0] - Z[:, 1] * A[:, 1])
+        tr_i = tr_i + w * jnp.sum(Z[:, 0] * A[:, 1] + Z[:, 1] * A[:, 0])
+    return tr_r, tr_i

@@ -64,11 +64,28 @@ def band_halfwidth(p, grid: Grid, block: int, band_deta: float) -> int:
     """Static block half-bandwidth h: every element pair with
     |eta_i - eta_j| <= band_deta lies inside block offsets [-h, h].
     Also never narrower than the singularity-handler band
-    (singularity_handler.cpp:3-24)."""
+    (singularity_handler.cpp:3-24).
+
+    Electromagnetic operators use the INTERLEAVED unknown ordering
+    [phi_0, A_0, phi_1, A_1, ...] (not the reference's [phi; A] block
+    ordering, solver.h:461-511): an element pair (i, j) then occupies
+    interleaved offsets |r - c| <= 2|i - j| + 1, which keeps the 2x2
+    phi/A coupling inside one contiguous band instead of two off-center
+    stripes -- the ordering that makes the EM operator block-banded."""
     w_el = max(int(np.ceil(band_deta / float(grid.dx))),
                SINGULAR_BAND_HALF_WIDTH)
+    if p.electromagnetic:
+        dim = 2 * grid.npoints
+        nb = dim // block
+        return min((2 * w_el + 1 + block - 1) // block, nb - 1)
     nb = grid.npoints // block
     return min(-(-w_el // block), nb - 1)
+
+
+def em_de_max(n: int, h: int, block: int) -> int:
+    """Largest element offset |i - j| reachable inside kept interleaved
+    block diagonals 0..h (block size ``block``, matrix dim 2n)."""
+    return min(((h + 1) * block) // 2, n - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -119,9 +136,8 @@ def assemble_bdia(p, grid: Grid, coeff_band, omega, h: int, block: int,
     Returns a BDIAOperator with offsets (-h..h).
     """
     if p.electromagnetic:
-        raise NotImplementedError(
-            "sparse path: electromagnetic banding lands with the interleaved "
-            "phi/A ordering; use the dense path (solvers.eigen) meanwhile")
+        return _assemble_bdia_em(p, grid, coeff_band, omega, h, block,
+                                 quad, chunk)
     n = grid.npoints
     bs = block
     nb = n // bs
@@ -183,6 +199,126 @@ def assemble_bdia(p, grid: Grid, coeff_band, omega, h: int, block: int,
                         n=n, block=bs)
 
 
+def _assemble_bdia_em(p, grid: Grid, coeff_band, omega, h: int, block: int,
+                      quad=None, chunk: int = 4096) -> BDIAOperator:
+    """Electromagnetic direct-to-BDIA assembly in the INTERLEAVED ordering
+    [phi_0, A_0, phi_1, A_1, ...] (matrix dim 2n).
+
+    The reference's [phi; A] block layout (solver.h:461-511) puts the phi-A
+    coupling n columns off the diagonal; interleaving folds the whole 2x2
+    structure of an element pair (i, j) into interleaved offsets
+    |r - c| <= 2|i - j| + 1, so the |eta - eta'| kernel decay gives one
+    contiguous block band.  Entry map (ii = r//2, jj = c//2, s = sign(jj-ii),
+    k_m evaluated once per ordered element pair (min, max) and shared by all
+    four components -- one integrand sweep yields m = 0, 1, 2):
+
+        (phi, phi)  -K0 * coeff(min,|d|) * dx      diag: 1 + 1/tau
+        (phi, A)     s * K1 * dx                   diag: 0    (U antisym)
+        (A, phi)    -s * K1 * dx                   diag: 0    (U^T = -U)
+        (A, A)       K2 * dx                       diag: 2 tau/beta_e bi(eta)
+
+    (K1 is antisymmetric and K2 symmetric under eta <-> eta', matching the
+    reference's explicit mirroring; K_m here already includes the electron
+    closed forms kappa_f_tau_e.)  The interleaved matrix is globally complex
+    symmetric, so negative block diagonals mirror by transposition exactly
+    like the electrostatic path.
+    """
+    n = grid.npoints
+    bs = block
+    dim = 2 * n
+    nb = dim // bs
+    dx = grid.dx
+    eta = grid.eta
+    rdtype = eta.dtype
+    cw = coeff_band.shape[1] // 2
+    de_max = em_de_max(n, h, bs)
+
+    # ---- stage 1: kernel table over ordered element pairs (i, i+de) ----
+    counts = np.array([n - de for de in range(1, de_max + 1)])
+    starts = np.concatenate([[0], np.cumsum(counts)])  # starts[de-1]
+    ia = np.concatenate([np.arange(n - de) for de in range(1, de_max + 1)])
+    ja = np.concatenate([np.arange(de, n) for de in range(1, de_max + 1)])
+    eta_a = eta[ia]
+    eta_b = eta[ja]
+
+    def compute(args):
+        ea, eb = args
+        vals, _ = kernels.kappa_f_tau(p, ea, eb, omega, ms=(0, 1, 2),
+                                      quad=quad)
+        return vals
+
+    k0, k1, k2 = eigen_mod._chunked(compute, (eta_a, eta_b), len(ia), chunk)
+    k1 = k1 + kernels.kappa_f_tau_e(p, eta_a, eta_b, omega, 1)
+    k2 = k2 + kernels.kappa_f_tau_e(p, eta_a, eta_b, omega, 2)
+    # (re, im) planes: TPU gathers are real-only (complex dtypes are
+    # elementwise-compute-only on this backend)
+    planes = [jnp.real(k0).astype(rdtype), jnp.imag(k0).astype(rdtype),
+              jnp.real(k1).astype(rdtype), jnp.imag(k1).astype(rdtype),
+              jnp.real(k2).astype(rdtype), jnp.imag(k2).astype(rdtype)]
+
+    diag_phi = jnp.asarray(1.0 + 1.0 / p.tau, rdtype)
+    diag_A = ((2.0 * p.tau) / p.beta_e * p.bi(eta)).astype(rdtype)  # (n,)
+
+    # ---- stage 2: gather into interleaved BDIA blocks ----
+    pos_blocks = []
+    for d in range(h + 1):
+        nrow = nb - d
+        I = np.arange(nrow)
+        a = np.arange(bs)
+        z = np.zeros((1, 1, bs), np.int64)
+        r_idx = (I[:, None, None] * bs + a[None, :, None] + z).reshape(-1)
+        c_idx = ((I[:, None, None] + d) * bs + a[None, None, :]
+                 + np.zeros((1, bs, 1), np.int64)).reshape(-1)
+        ii = r_idx // 2
+        jj = c_idx // 2
+        de = jj - ii
+        adiff = np.abs(de)
+        lo = np.minimum(ii, jj)
+        valid = (adiff >= 1) & (adiff <= de_max)
+        pos = np.where(valid, starts[np.maximum(adiff, 1) - 1] + lo, 0)
+        sgn = np.sign(de).astype(np.float64)
+
+        g0r, g0i, g1r, g1i, g2r, g2i = (pl[pos] for pl in planes)
+        cvals = coeff_band[lo, np.minimum(adiff, cw) + cw]
+
+        phiphi = (r_idx % 2 == 0) & (c_idx % 2 == 0)
+        AA = (r_idx % 2 == 1) & (c_idx % 2 == 1)
+        # (phi,A): +s, (A,phi): -s; diagonal U entries get s = 0 via valid
+        usign = jnp.asarray(np.where(r_idx % 2 == 0, sgn, -sgn), rdtype)
+
+        vr = jnp.where(phiphi, -g0r * cvals,
+                       jnp.where(AA, g2r, usign * g1r)) * dx
+        vi = jnp.where(phiphi, -g0i * cvals,
+                       jnp.where(AA, g2i, usign * g1i)) * dx
+        vr = jnp.where(valid, vr, 0.0)
+        vi = jnp.where(valid, vi, 0.0)
+        if d == 0:
+            eye = r_idx == c_idx
+            dvals = jnp.where(r_idx % 2 == 0, diag_phi, diag_A[ii])
+            vr = jnp.where(eye, dvals, vr)
+            vi = jnp.where(eye, 0.0, vi)
+        blk = jnp.stack([vr.reshape(nrow, bs, bs),
+                         vi.reshape(nrow, bs, bs)], axis=1)
+        if d:
+            blk = jnp.pad(blk, [(0, d), (0, 0), (0, 0), (0, 0)])
+        pos_blocks.append(blk)
+
+    neg = []
+    for d in range(1, h + 1):
+        t = jnp.swapaxes(pos_blocks[d][:nb - d], -1, -2)
+        neg.append(jnp.pad(t, [(d, 0), (0, 0), (0, 0), (0, 0)]))
+
+    data = jnp.stack(neg[::-1] + pos_blocks)
+    return BDIAOperator(data=data, offsets=tuple(range(-h, h + 1)),
+                        n=dim, block=bs)
+
+
+def deinterleave(vec):
+    """Interleaved [phi_0, A_0, phi_1, A_1, ...] -> reference block layout
+    [phi; A] (solver.h:461-511) for output parity."""
+    return np.concatenate([vec[0::2], vec[1::2]])
+
+
 # ---------------------------------------------------------------------------
 # the solve
 # ---------------------------------------------------------------------------
@@ -210,6 +346,26 @@ def _null_vector(lu, n, dtype, iters: int = 2):
         nrm = jnp.sqrt(jnp.sum(vr * vr + vi * vi))
         vr, vi = vr / nrm, vi / nrm
     return vr, vi
+
+
+def trace_newton_step(p, grid, coeff_band, state: SparseEigenState,
+                      h: int, block: int, quad=None, chunk: int = 4096):
+    """One Newton-trace-secant step on the banded operator
+    (solver.h:113-160): d_omega = -1 / tr(M^{-1} dM), with the banded trace
+    computed EXACTLY by block-Takahashi selected inversion -- only the
+    entries of M^{-1} inside the band exist, so nothing densifies.  This is
+    the reference's default iteration; its basin of attraction is what the
+    golden step counts (and the stellarator case's 17-100-step walks)
+    measure, and the smallest-singular-pair updates do NOT share it."""
+    lu = banded.banded_lu(state.M)
+    Zu = banded.banded_selected_inverse(lu)
+    tr_r, tr_i = banded.banded_trace_product(Zu, state.dM)
+    tr = tr_r + 1j * tr_i
+    d_omega = -1.0 / tr
+    omega = state.omega + d_omega
+    M_new = assemble_bdia(p, grid, coeff_band, omega, h, block, quad, chunk)
+    dM = bdia_secant(M_new, state.M, d_omega)
+    return SparseEigenState(omega=omega, d_omega=d_omega, M=M_new, dM=dM)
 
 
 def bordered_newton_step(p, grid, coeff_band, state: SparseEigenState,
@@ -330,14 +486,16 @@ def host64_polish_banded(p, grid, coeff_band, state: SparseEigenState,
 _JIT_CACHE: dict = {}
 
 
-def _fns(h, block, quad, chunk, dtype):
+def _fns(h, block, quad, chunk, dtype, method: str = "TraceSecant"):
     qkey = tuple(sorted(quad.items())) if quad else None
-    key = (h, block, qkey, chunk, jnp.dtype(dtype).name)
+    key = (h, block, qkey, chunk, jnp.dtype(dtype).name, method)
     if key not in _JIT_CACHE:
         cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
         init = jax.jit(lambda p, g, cb, re, im: init_state(
             p, g, cb, (re + 1j * im).astype(cdtype), h, block, quad, chunk))
-        step = jax.jit(partial(bordered_newton_step, h=h, block=block,
+        step_fn = trace_newton_step if method == "TraceSecant" \
+            else bordered_newton_step
+        step = jax.jit(partial(step_fn, h=h, block=block,
                                quad=quad, chunk=chunk))
         _JIT_CACHE[key] = (init, step, jax.jit(
             arnoldi_estimate, static_argnames=("m_krylov",)))
@@ -347,25 +505,33 @@ def _fns(h, block, quad, chunk, dtype):
 def solve(p, omega_init, tol: float | None = None, quad=None,
           chunk: int = 4096, dtype=None, band_deta: float | None = None,
           block: int | None = None, m_krylov: int = 0,
-          host64: bool = False, stats: dict | None = None):
+          host64: bool = False, stats: dict | None = None,
+          method: str = "TraceSecant"):
     """Sparse end-to-end eigensolve.  Returns (omega, eigenvector, steps,
     state); optionally fills ``stats`` with SpMV/assembly metrics.
 
+    ``method``: "TraceSecant" (default; banded Newton-trace via selected
+    inversion -- the reference's iteration and basin, solver.h:113-160) or
+    "QRSecant" (banded bordered-Newton on the smallest singular pair --
+    faster per step, smaller basin).
+
     m_krylov > 0 runs the shift-invert Arnoldi stage first (use when the
-    initial guess is far or several modes are wanted); the bordered-Newton
-    iteration then polishes to the reference criterion |d_omega| <
-    tol * |omega| (main.cpp:53-56).
+    initial guess is far or several modes are wanted); the Newton iteration
+    then polishes to the reference criterion |d_omega| < tol * |omega|
+    (main.cpp:53-56).
     """
     tol = tol if tol is not None else 1e-6
     dtype = dtype if dtype is not None else jnp.asarray(p.length).dtype
     band_deta = band_deta if band_deta is not None else DEFAULT_BAND_DETA
     grid = Grid.create(p.length, p.npoints, dtype=dtype)
-    block = block if block is not None else pick_block(p.npoints)
+    dim = 2 * p.npoints if p.electromagnetic else p.npoints
+    block = block if block is not None else pick_block(dim)
     h = band_halfwidth(p, grid, block, band_deta)
-    w_el = (h + 1) * block - 1
+    w_el = em_de_max(p.npoints, h, block) if p.electromagnetic \
+        else (h + 1) * block - 1
     coeff_band = singularity_coeff_band(p.npoints, w_el, dtype=dtype)
 
-    init, step, arnoldi_jit = _fns(h, block, quad, chunk, dtype)
+    init, step, arnoldi_jit = _fns(h, block, quad, chunk, dtype, method)
     omega_init = complex(omega_init)
     state = init(p, grid, coeff_band,
                  jnp.asarray(omega_init.real, dtype),
@@ -418,9 +584,13 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
     if host64:
         omega, v, extra = host64_polish_banded(
             p, grid, coeff_band, state, tol, h, block, quad=quad, chunk=chunk)
+        if p.electromagnetic:
+            v = deinterleave(v)
         return omega, v, n_steps + extra, state
 
     lu = banded.banded_lu(state.M)
     vr, vi = _null_vector(lu, state.M.n, state.M.data.dtype, iters=3)
     vec = np.asarray(vr) + 1j * np.asarray(vi)
+    if p.electromagnetic:
+        vec = deinterleave(vec)
     return eigen_mod.fetch_complex(state.omega), vec, n_steps, state

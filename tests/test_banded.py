@@ -66,3 +66,54 @@ def test_banded_lu_near_singular_shift():
     v = evecs[:, k]
     cos = np.abs(v.conj() @ z) / np.linalg.norm(z)
     assert cos > 0.99
+
+
+def test_selected_inverse_trace(tokamak_cfg):
+    """Block-Takahashi selected inversion: band entries of M^{-1} and the
+    Newton-trace tr(M^{-1} dM) match the dense computation exactly."""
+    import json
+    from emme_tpu import from_config
+    from emme_tpu.grid import Grid
+    from emme_tpu.ops.singularity import singularity_coeff_band
+    from emme_tpu.solvers import sparse_eigen
+
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    grid = Grid.create(p.length, p.npoints)
+    bs, h = 8, 3
+    cb = singularity_coeff_band(32, (h + 1) * bs - 1)
+    om = jnp.complex128(-0.8 + 0.25j)
+    A = sparse_eigen.assemble_bdia(p, grid, cb, om, h, bs)
+    B = sparse_eigen.assemble_bdia(p, grid, cb, om * 1.01, h, bs)
+    dM = sparse_eigen.bdia_secant(B, A, om * 0.01)
+
+    lu = banded.banded_lu(A)
+    Zu = banded.banded_selected_inverse(lu)
+    tr_r, tr_i = banded.banded_trace_product(Zu, dM)
+    got = complex(float(tr_r), float(tr_i))
+
+    def todense(op):
+        nb = op.n // op.block
+        b = op.block
+        M = np.zeros((op.n, op.n), complex)
+        d_ = np.asarray(op.data)
+        for k, d in enumerate(op.offsets):
+            for r in range(nb):
+                c = r + d
+                if 0 <= c < nb:
+                    M[r*b:(r+1)*b, c*b:(c+1)*b] = d_[k, r, 0] + 1j*d_[k, r, 1]
+        return M
+
+    Md, dMd = todense(A), todense(dM)
+    want = np.trace(np.linalg.solve(Md, dMd))
+    assert abs(got - want) / abs(want) < 1e-12
+
+    Z = np.linalg.inv(Md)
+    Zu_np = np.asarray(Zu)
+    nb = 32 // bs
+    for i in range(nb):
+        for d in range(h + 1):
+            if i + d < nb:
+                gotb = Zu_np[i, d, 0] + 1j * Zu_np[i, d, 1]
+                wantb = Z[i*bs:(i+1)*bs, (i+d)*bs:(i+d+1)*bs]
+                np.testing.assert_allclose(gotb, wantb, atol=1e-12)

@@ -107,3 +107,74 @@ def test_bdia_secant_matches_dense_secant(tokamak_cfg):
               - (np.asarray(A.data[:, :, 0]) + 1j * np.asarray(A.data[:, :, 1]))
               ) / complex(dom)
     np.testing.assert_allclose(got, expect, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# electromagnetic (interleaved phi/A ordering)
+# ---------------------------------------------------------------------------
+
+def _interleave_perm(n):
+    """Permutation taking the reference [phi; A] layout to interleaved."""
+    perm = np.empty(2 * n, np.int64)
+    perm[0::2] = np.arange(n)
+    perm[1::2] = np.arange(n) + n
+    return perm
+
+
+def test_assemble_bdia_em_matches_dense(stellarator_cfg):
+    """The EM banded assembly must equal the dense 2x2-block operator
+    (solver.h:461-511) permuted to interleaved ordering, inside the band."""
+    cfg = dict(stellarator_cfg, npoints=32)
+    p = from_config(cfg)
+    assert p.electromagnetic
+    grid = Grid.create(p.length, p.npoints)
+    coeff = singularity_coeff_matrix(32)
+    om = jnp.complex128(-1.656 + 2.49j)
+    M = np.asarray(eigen.assemble_matrix(p, grid, coeff, om, chunk=512))
+    perm = _interleave_perm(32)
+    Mi = M[np.ix_(perm, perm)]
+
+    bs, h = 16, 2
+    de_max = sparse_eigen.em_de_max(32, h, bs)
+    cband = singularity_coeff_band(32, de_max)
+    op = sparse_eigen.assemble_bdia(p, grid, cband, om, h, bs, chunk=512)
+    assert op.n == 64 and op.block == bs
+    data = np.asarray(op.data)
+    nb = 64 // bs
+    Mb = Mi.reshape(nb, bs, nb, bs).transpose(0, 2, 1, 3)
+    for k, d in enumerate(op.offsets):
+        for r in range(nb):
+            c = r + d
+            if 0 <= c < nb:
+                got = data[k, r, 0] + 1j * data[k, r, 1]
+                # zero out dense entries beyond the kept |i-j| <= de_max band
+                ii = (r * bs + np.arange(bs)[:, None]) // 2
+                jj = (c * bs + np.arange(bs)[None, :]) // 2
+                expect = np.where(np.abs(jj - ii) <= de_max, Mb[r, c], 0.0)
+                expect = np.where((r * bs + np.arange(bs)[:, None])
+                                  == (c * bs + np.arange(bs)[None, :]),
+                                  Mb[r, c], expect)
+                np.testing.assert_allclose(got, expect, atol=1e-13)
+            else:
+                assert not data[k, r].any()
+
+
+def test_sparse_solve_stel32_golden(golden_eigenvalues, stellarator_cfg):
+    """End-to-end electromagnetic sparse solve vs the reference golden.
+    The banded TraceSecant (selected-inversion trace) shares the dense
+    trace iteration's basin: it converges in the reference's own 17 steps
+    where the smallest-singular-pair updates diverge from this guess."""
+    cfg = dict(stellarator_cfg, npoints=32)
+    p = from_config(cfg)
+    stats = {}
+    om, vec, steps, state = sparse_eigen.solve(
+        p, -1.656 + 2.49j, tol=1e-6, block=16, band_deta=20.0, stats=stats)
+    ref = complex(*golden_eigenvalues["stel32"]["omega"])
+    # same quadrature-limited tolerance as the dense stel32 test
+    assert abs(om - ref) / abs(ref) < 5e-5
+    assert steps == golden_eigenvalues["stel32"]["steps"]
+    assert state.M.n == 64
+    # eigenvector comes back in the reference [phi; A] layout
+    gv = np.fromfile("tests/goldens/eigenvector_stel32.bin", np.complex128)
+    corr = abs(np.vdot(gv, vec)) / (np.linalg.norm(gv) * np.linalg.norm(vec))
+    assert corr > 1 - 1e-5
