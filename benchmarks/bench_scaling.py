@@ -89,15 +89,60 @@ def main():
         jax.block_until_ready(s.field)
         results.setdefault("pic_step", {})[n_dev] = (time.time() - t0) / 5
 
+    # ---- BDIA SpMV weak scaling (the BASELINE nnz/s metric): fixed
+    # row-blocks per device, matrix grows with the mesh; halo exchange by
+    # ppermute stripe relay, overlap on/off A/B (VERDICT r1 item 5).
+    from emme_tpu.ops import sparse as sparse_mod
+    from emme_tpu.parallel.mesh import row_sharding
+
+    bs, nbl_per_dev, halo = 64, 8, 2   # band: offsets -2..2
+    rng = np.random.RandomState(0)
+    for overlap in (True, False):
+        key = f"spmv_overlap_{overlap}"
+        for n_dev in sizes:
+            nb = nbl_per_dev * n_dev
+            n = nb * bs
+            offs = tuple(range(-halo, halo + 1))
+            data_np = rng.standard_normal(
+                (len(offs), nb, 2, bs, bs)).astype(dtype)
+            op = sparse_mod.BDIAOperator(
+                data=jnp.asarray(data_np), offsets=offs, n=n, block=bs)
+            mesh = mesh_mod.make_mesh(n_rows=n_dev, n_scan=1,
+                                      devices=devices[:n_dev])
+            data, h = sharded.shard_bdia(op, mesh)
+            xr = jax.device_put(jnp.asarray(rng.standard_normal(n), dtype),
+                                row_sharding(mesh))
+            xi = jax.device_put(jnp.asarray(rng.standard_normal(n), dtype),
+                                row_sharding(mesh))
+            fn = jax.jit(lambda d, a, b: sharded.sharded_bdia_matvec(
+                d, offs, h, mesh, a, b, overlap=overlap))
+            out = fn(data, xr, xi)
+            jax.block_until_ready(out)
+            reps = 30
+            t0 = time.time()
+            for _ in range(reps):
+                out = fn(data, *out)
+            jax.block_until_ready(out)
+            t = (time.time() - t0) / reps
+            results.setdefault(key, {})[n_dev] = t
+            results.setdefault(key + "_nnz", {})[n_dev] = op.nnz
+
     for name, times in results.items():
+        if name.endswith("_nnz"):
+            continue
         t1 = times[sizes[0]]
         for n_dev in sizes:
             eff = t1 / times[n_dev]
-            print(json.dumps({
+            rec = {
                 "bench": name, "devices": n_dev,
-                "t_per_call_s": round(times[n_dev], 4),
+                "t_per_call_s": round(times[n_dev], 5),
                 "weak_efficiency": round(eff, 3),
-            }), flush=True)
+            }
+            nnz = results.get(name + "_nnz", {}).get(n_dev)
+            if nnz:
+                rec["nnz_per_s"] = round(nnz / times[n_dev] / 1e9, 3)
+                rec["nnz_per_s_unit"] = "Gnnz/s"
+            print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -120,13 +120,25 @@ def shard_bdia(op, mesh: Mesh):
     return data, halo
 
 
-def sharded_bdia_matvec(data, offsets, halo: int, mesh: Mesh, xr, xi):
+def sharded_bdia_matvec(data, offsets, halo: int, mesh: Mesh, xr, xi,
+                        overlap: bool = True):
     """y = A x with row-blocks sharded over ``rows`` and the x halo segments
     exchanged by ``ppermute`` stripe relays (the band analogue of a
     ring-attention step).  A halo narrower than one shard costs one
     left+right exchange; wider bands relay whole stripes hop by hop.
     Devices at the global edges receive ppermute's implicit zeros, which is
     exactly the non-periodic boundary condition.
+
+    ``overlap=True`` (default) double-buffers the relay against the
+    contraction: the block diagonals computable from stripes already in
+    hand are contracted while the next stripe pair is in flight -- after
+    hop k, exactly the diagonals with |d| <= k * nb_local unlock, so the
+    d = 0 (typically dominant) contraction fully hides the first exchange.
+    The two chains (relay buffers, y accumulation) share no data
+    dependence, which is what lets the XLA latency-hiding scheduler run
+    the collective and the einsum concurrently.  ``overlap=False`` keeps
+    the serialized relay-then-contract order for A/B measurement
+    (BENCH_SCALING.md).
 
     Args:
       data: (ndiag, nb, 2, bs, bs) BDIA planes, sharded on axis 1.
@@ -144,33 +156,60 @@ def sharded_bdia_matvec(data, offsets, halo: int, mesh: Mesh, xr, xi):
                            xi_loc.reshape(nbl, bs)])           # (2, nbl, bs)
         hops = -(-halo // nbl)  # stripes needed per side
 
-        # stripe relay: hop h delivers the full local stripe of the device
-        # h to the left (resp. right); zeros flow in at the global edges
-        # and propagate, giving the open-boundary halo for free.
         to_right = [(i, i + 1) for i in range(n_shards - 1)]
         to_left = [(i + 1, i) for i in range(n_shards - 1)]
-        stripes = [x_loc]
-        buf = x_loc
-        for _ in range(hops):
-            buf = jax.lax.ppermute(buf, "rows", to_right)
-            stripes.insert(0, buf)
-        buf = x_loc
-        for _ in range(hops):
-            buf = jax.lax.ppermute(buf, "rows", to_left)
-            stripes.append(buf)
-        x_ext = jnp.concatenate(stripes, axis=1)
-        base = hops * nbl  # position of local block 0 within x_ext
 
-        # local contraction: for diagonal d, y[i] += A_d[i] @ x_ext[base+i+d]
-        gxr = jnp.stack([jax.lax.dynamic_slice_in_dim(
-            x_ext[0], base + d, nbl, axis=0) for d in offsets])
-        gxi = jnp.stack([jax.lax.dynamic_slice_in_dim(
-            x_ext[1], base + d, nbl, axis=0) for d in offsets])
-        ar = d_local[:, :, 0]
-        ai = d_local[:, :, 1]
         dn = "dnij,dnj->ni"
-        yr = jnp.einsum(dn, ar, gxr) - jnp.einsum(dn, ai, gxi)
-        yi = jnp.einsum(dn, ar, gxi) + jnp.einsum(dn, ai, gxr)
+        yr = jnp.zeros((nbl, bs), x_loc.dtype)
+        yi = jnp.zeros((nbl, bs), x_loc.dtype)
+
+        def contract(ds, x_ext, base, yr, yi):
+            """Accumulate the contributions of block diagonals ``ds`` from
+            the extended-x window currently in hand."""
+            if not ds:
+                return yr, yi
+            sel = np.array([offsets.index(d) for d in ds])
+            gxr = jnp.stack([jax.lax.dynamic_slice_in_dim(
+                x_ext[0], base + d, nbl, axis=0) for d in ds])
+            gxi = jnp.stack([jax.lax.dynamic_slice_in_dim(
+                x_ext[1], base + d, nbl, axis=0) for d in ds])
+            ar = d_local[sel, :, 0]
+            ai = d_local[sel, :, 1]
+            yr = yr + jnp.einsum(dn, ar, gxr) - jnp.einsum(dn, ai, gxi)
+            yi = yi + jnp.einsum(dn, ar, gxi) + jnp.einsum(dn, ai, gxr)
+            return yr, yi
+
+        if not overlap:
+            # serialized reference path: relay everything, then contract
+            stripes = [x_loc]
+            buf = x_loc
+            for _ in range(hops):
+                buf = jax.lax.ppermute(buf, "rows", to_right)
+                stripes.insert(0, buf)
+            buf = x_loc
+            for _ in range(hops):
+                buf = jax.lax.ppermute(buf, "rows", to_left)
+                stripes.append(buf)
+            x_ext = jnp.concatenate(stripes, axis=1)
+            yr, yi = contract(list(offsets), x_ext, hops * nbl, yr, yi)
+            return yr.reshape(-1), yi.reshape(-1)
+
+        # overlapped path: contract what each hop unlocks while the next
+        # stripe pair flies.  left[s] = stripe from s hops left, etc.
+        left = [x_loc]   # stripes covering x blocks [-s*nbl .. )
+        right = [x_loc]  # stripes covering x blocks [+s*nbl .. )
+        done: set = set()
+        for k in range(hops + 1):
+            if k:
+                left.append(jax.lax.ppermute(left[-1], "rows", to_right))
+                right.append(jax.lax.ppermute(right[-1], "rows", to_left))
+            ds = [d for d in offsets
+                  if abs(d) <= k * nbl and d not in done]
+            if ds:
+                # window of stripes [-k..k] around local
+                x_ext = jnp.concatenate(left[k::-1] + right[1:k + 1], axis=1)
+                yr, yi = contract(ds, x_ext, k * nbl, yr, yi)
+                done |= set(ds)
         return yr.reshape(-1), yi.reshape(-1)
 
     return shard_map(
