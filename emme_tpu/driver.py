@@ -136,11 +136,45 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
             else:
                 fetch(state.M).astype(np.complex128).tofile(matrix_file)
 
+    # runtime quadrature-accuracy guard (VERDICT r1 item 6): check the
+    # static panel mesh against the reference's own adaptive acceptance
+    # criterion AT THE CONVERGED omega; warn -- or refine once on a denser
+    # mesh -- when an off-golden regime under-resolves.
+    guard_mode = cfg.get("quad_guard", "warn")
+    guard_stats = None
+    if guard_mode not in ("warn", "refine", "off"):
+        raise ValueError(
+            f"quad_guard must be 'warn', 'refine' or 'off', got {guard_mode!r}")
+    if guard_mode != "off":
+        from .grid import Grid
+        grid = Grid.create(p.length, p.npoints, dtype=dtype)
+        guard_stats = eigen.quadrature_guard(p, grid, omega, quad=quad,
+                                             chunk=chunk)
+        if guard_stats["frac_flagged"] > 0:
+            import warnings
+            msg = (f"quadrature guard: {guard_stats['frac_flagged']:.1%} of "
+                   f"sampled kernel integrals fail the reference acceptance "
+                   f"test at omega={omega:.6g} (max_abs_err="
+                   f"{guard_stats['max_abs_err']:.3g})")
+            if guard_mode == "refine":
+                quad2 = eigen.refine_quad(quad, dtype)
+                warnings.warn(msg + " -- re-solving on a 2x denser mesh")
+                cfg2 = dict(cfg, quad_guard="off")
+                res2, omega2 = solve_once_eigen(
+                    cfg2, omega, matrix_file=matrix_file, dtype=dtype,
+                    quad=quad2, chunk=chunk, host64=host64)
+                res2["quadrature_guard"] = dict(guard_stats, refined=True)
+                res2["eigenvalue_coarse_mesh"] = [omega.real, omega.imag]
+                return res2, omega2
+            warnings.warn(msg)
+
     result = {
         "eigenvalue": [omega.real, omega.imag],
         "eigenvector": _typed_array(vec),
         "iteration_steps": n_steps,
     }
+    if guard_stats is not None:
+        result["quadrature_guard"] = guard_stats
     if stats:
         result["sparse_stats"] = {
             k: (v if not isinstance(v, complex) else [v.real, v.imag])

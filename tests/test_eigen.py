@@ -87,3 +87,45 @@ def test_eigen_solve_qr_secant_tok32(tokamak_cfg, golden_eigenvalues):
     ref = complex(*golden_eigenvalues["tok32"]["omega"])
     assert abs(om - ref) / abs(ref) < 2e-6
     assert nsteps <= golden_eigenvalues["tok32"]["steps"] + 3
+
+
+def test_quadrature_guard_silent_on_golden(tokamak_cfg):
+    """At the converged golden omega the static panel mesh passes the
+    reference's own quadrature acceptance test on every sampled pair."""
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    grid = Grid.create(p.length, p.npoints)
+    g = eigen.quadrature_guard(p, grid, -0.574227 + 0.274304j, sample=496)
+    assert g["frac_flagged"] == 0.0
+    assert g["max_abs_err"] < 1e-9
+
+
+def test_quadrature_guard_catches_underresolved_regime(tokamak_cfg):
+    """Adversarial off-golden regime (fast real oscillation, almost no
+    contour damping: omega = -6 + 0.001i): the exp(i omega t) period
+    outpaces the oscillatory-section panel density, and the guard must
+    flag it -- and the one-shot denser mesh must actually reduce the
+    error (VERDICT r1 item 6)."""
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    grid = Grid.create(p.length, p.npoints)
+    bad = -6.0 + 0.001j
+    g = eigen.quadrature_guard(p, grid, bad, sample=496)
+    assert g["frac_flagged"] > 0.01
+    assert g["max_abs_err"] > 1e-6
+
+    quad2 = eigen.refine_quad(None, grid.eta.dtype)
+    g2 = eigen.quadrature_guard(p, grid, bad, quad=quad2, sample=496)
+    assert g2["max_abs_err"] < 0.2 * g["max_abs_err"]
+
+
+def test_driver_quad_guard_refine(tmp_path, tokamak_cfg):
+    """Driver surface: quad_guard='refine' re-solves once on the denser
+    mesh when flagged and records both; default 'warn' stays silent on the
+    golden case."""
+    from emme_tpu import driver
+
+    cfg = dict(tokamak_cfg, npoints=32, quad_guard="warn")
+    res = driver.run(cfg, output_dir=tmp_path, verbose=False)
+    r = res["result"]["(None)"]["scan_result"][0]
+    assert r["quadrature_guard"]["frac_flagged"] == 0.0
