@@ -48,12 +48,13 @@ def main():
     cfg["npoints"] = 1024
     p = from_config(cfg, dtype=dtype)
 
-    chunk = 4096
+    chunk = 16384   # dispatch-overhead plateau measured in BENCH_ASSEMBLY.md
     # Warm-up solve triggers all compilation (cached persistently).
     print("warm-up (compilation)...", file=sys.stderr, flush=True)
     eigen.solve(p, -0.8 + 0.25j, tol=1e-5, chunk=chunk)
 
     # Timed: full solve = init (2 assemblies) + iterations + nullspace.
+    # (f32 solves auto-enable the |d_eta|-tiered panel meshes.)
     t0 = time.time()
     om, vec, nsteps, _ = eigen.solve(p, -0.8 + 0.25j, tol=1e-5, chunk=chunk)
     elapsed = time.time() - t0
@@ -63,12 +64,37 @@ def main():
           file=sys.stderr, flush=True)
     assert rel_err < 5e-4, f"accuracy regression: {rel_err}"
 
-    print(json.dumps({
+    # secondary: the reference's own 1e-6 criterion via the hybrid polish
+    # (device f32 assembly + host complex128 bordered Newton)
+    t0 = time.time()
+    om64, _v, nsteps64, _ = eigen.solve(p, -0.8 + 0.25j, tol=1e-6,
+                                        chunk=chunk, host64=True)
+    elapsed64 = time.time() - t0
+    rel_err64 = abs(om64 - GOLDEN) / abs(GOLDEN)
+    print(f"host64 tol=1e-6: {om64} steps {nsteps64} rel_err "
+          f"{rel_err64:.3g} in {elapsed64:.2f}s", file=sys.stderr, flush=True)
+
+    # secondary: canonical PIC case (1024x1024 markers, 180 steps;
+    # goldens pic_tok1024, reference 146.2 s on the 2-core host)
+    pic_seconds = None
+    try:
+        from benchmarks.bench_pic import run_canonical
+        pic_seconds = run_canonical()
+    except Exception as e:  # PIC bench must not sink the headline metric
+        print(f"pic bench skipped: {e}", file=sys.stderr, flush=True)
+
+    out = {
         "metric": "time_to_converged_eigenpair_tokamak_n1024",
         "value": round(elapsed, 3),
         "unit": "s",
         "vs_baseline": round(REF_SECONDS / elapsed, 2),
-    }), flush=True)
+        "tol1e6_host64_s": round(elapsed64, 3),
+        "tol1e6_rel_err": float(f"{rel_err64:.3g}"),
+    }
+    if pic_seconds is not None:
+        out["pic_tok1024_s"] = round(pic_seconds, 3)
+        out["pic_vs_baseline"] = round(146.2 / pic_seconds, 2)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

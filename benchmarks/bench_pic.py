@@ -25,7 +25,10 @@ REF_SECONDS = 146.2
 GOLDEN = complex(0.837758, 0.203384)  # (omega, gamma) fitted by the reference
 
 
-def main():
+def run_canonical() -> float:
+    """Run the canonical PIC case once (after a warm-up) and return the
+    wall-clock seconds; asserts the fitted (omega, gamma) statistically
+    against the reference golden.  Shared by __main__ and bench.py."""
     import jax
     jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
     import jax.numpy as jnp
@@ -35,7 +38,9 @@ def main():
     with open(REPO / "tests" / "goldens" / "inputs" / "tokamak.json") as f:
         cfg = json.load(f)
     cfg["npoints"] = 1024
-    p = from_config(cfg, dtype=jnp.float32)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    p = from_config(cfg, dtype=jnp.float32 if on_tpu else
+                    jnp.asarray(0.0).dtype)
 
     run = jax.jit(lambda key: pic.run(p, cfg["marker_per_cell"],
                                       cfg["step_number"], cfg["time_step"],
@@ -53,7 +58,11 @@ def main():
           file=sys.stderr, flush=True)
     assert abs(om.real - GOLDEN.real) / abs(GOLDEN.real) < 0.05
     assert abs(om.imag - GOLDEN.imag) / abs(GOLDEN.imag) < 0.10
+    return elapsed
 
+
+def main():
+    elapsed = run_canonical()
     print(json.dumps({
         "metric": "pic_tokamak_1024x1024_180steps",
         "value": round(elapsed, 3),

@@ -117,12 +117,14 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
                 block=cfg.get("band_block"),
                 m_krylov=int(cfg.get("m_krylov", 0)),
                 method=cfg.get("iteration_method", "TraceSecant"),
+                tiered=cfg.get("quad_tiered"),
                 stats=stats)
         elif backend == "dense":
             method = cfg.get("iteration_method", "TraceSecant")
             omega, vec, n_steps, state = eigen.solve(
                 p, omega_guess, tol=tol, quad=quad, chunk=chunk,
-                method=method, host64=host64)
+                method=method, host64=host64,
+                tiered=cfg.get("quad_tiered"))
         else:
             raise ValueError(
                 f"eigen_backend must be 'dense' or 'sparse', got {backend!r}")
@@ -184,33 +186,62 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
 
 def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
                    dtype=jnp.float64, seed: int = 0, **_) -> dict:
-    """One PIC-method solve (main.cpp:82-137)."""
+    """One PIC-method solve (main.cpp:82-137).
+
+    Config surface beyond the reference: ``gather_method`` ('take' |
+    'matmul'), ``deposit_method`` ('segment' | 'matmul'), ``pic_timers``
+    (per-phase Particle Pushing / Field Solve / Diagnostics sections via a
+    host-driven loop), ``time_step_adaptive`` (embedded-error step control,
+    the reference Integrator's step_adaptive that its main() never wires
+    up)."""
     p = params_mod.from_config(cfg, dtype=dtype)
     mpc = int(cfg["marker_per_cell"])
     nt = int(cfg["step_number"])
     dt = float(cfg["time_step"])
 
-    with section("PIC run"):
-        stats, state, fields = pic.run(
-            p, mpc, nt, dt, key=jax.random.PRNGKey(seed),
-            record_fields=matrix_file is not None)
-
-    if matrix_file is not None:
-        fetch(fields).astype(np.complex128).tofile(matrix_file)
-
-    # omega_fit: "peak" reproduces the reference's peak-count fit (unsigned
-    # frequency, solver_pic.h:514-527); "fft" resolves the frequency sign.
     fits = {"peak": pic.calculate_omega, "fft": pic.calculate_omega_fft}
     fit_name = cfg.get("omega_fit", "peak")
     if fit_name not in fits:
         raise ValueError(
             f"omega_fit must be one of {list(fits)}, got {fit_name!r}")
-    fit = fits[fit_name]
-    omega = fit(np.asarray(stats), dt)
+
+    adaptive = bool(cfg.get("time_step_adaptive", False))
+    key = jax.random.PRNGKey(seed)
+    times = None
+    with section("PIC run"):
+        if adaptive:
+            times, stats, state = pic.run_adaptive(
+                p, mpc, nt * dt, dt, key=key,
+                upper_err_bound=float(cfg.get("adaptive_upper_err", 1e-7)),
+                lower_err_bound=float(cfg.get("adaptive_lower_err", 1e-10)))
+            fields = None
+        elif cfg.get("pic_timers"):
+            stats, state, fields = pic.run_timed(
+                p, mpc, nt, dt, key=key,
+                record_fields=matrix_file is not None)
+        else:
+            stats, state, fields = pic.run(
+                p, mpc, nt, dt, key=key,
+                record_fields=matrix_file is not None,
+                gather_method=cfg.get("gather_method"),
+                deposit_method=cfg.get("deposit_method"))
+
+    if matrix_file is not None and fields is not None:
+        fetch(fields).astype(np.complex128).tofile(matrix_file)
+
+    # omega_fit: "peak" reproduces the reference's peak-count fit (unsigned
+    # frequency, solver_pic.h:514-527); "fft" resolves the frequency sign.
+    if adaptive:
+        omega = pic.calculate_omega_nonuniform(times, stats)
+    else:
+        omega = fits[fit_name](np.asarray(stats), dt)
     result = {
         "eigenvalue": [omega.real, omega.imag],
         "eigenvector": _typed_array(state.field),
     }
+    if adaptive:
+        result["adaptive_steps"] = int(len(times))
+        result["adaptive_final_time"] = float(times[-1])
     return result, omega_guess  # PIC does not update the continuation seed
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -39,6 +40,37 @@ PANEL_PRESETS = {
 
 def panel_preset(real_dtype) -> dict:
     return dict(PANEL_PRESETS[jnp.dtype(real_dtype).name])
+
+
+# |eta - eta'| tier table for assembly: (upper bound, panel-count scale).
+# The integrand's resolution demand is set by the Gaussian turn-on at
+# t ~ q R |d_eta| / vt: the NEAR pairs need the full mesh, while for
+# |d_eta| >= 0.6 a half mesh and for >= 8 a quarter mesh already beat the
+# reference's 1e-6 acceptance criterion by >10x (measured against the f64
+# dense mesh at the tokamak golden omega; the runtime quadrature_guard
+# re-checks every run).  At L = 20, n = 1024 this cuts integrand work to
+# ~37% (3% of pairs full + 33% half + 64% quarter).
+TIER_TABLE = ((0.6, 1.0), (8.0, 0.5), (float("inf"), 0.25))
+
+
+def scaled_quad(quad, real_dtype, scale: float) -> dict:
+    """Panel-count preset scaled by ``scale`` (tier meshes)."""
+    base = panel_preset(real_dtype)
+    if quad:
+        base.update(quad)
+    return {k: (max(1, int(round(v * scale))) if k.startswith("n_") else v)
+            for k, v in base.items()}
+
+
+def tier_thresholds_ij(dx: float, npoints: int, table=TIER_TABLE) -> tuple:
+    """TIER_TABLE in static |i - j| index units for a concrete grid spacing
+    (tier membership must be trace-static)."""
+    out = []
+    for ub, scale in table:
+        ij = npoints if ub == float("inf") \
+            else min(npoints, int(np.ceil(ub / dx)))
+        out.append((ij, scale))
+    return tuple(out)
 
 
 def _complex_dtype(real_dtype):

@@ -70,7 +70,51 @@ def _chunked(fn, args, n_items: int, chunk: int):
     return out
 
 
-def assemble_matrix(p, grid: Grid, coeff, omega, quad=None, chunk: int = 2048):
+def _tiered_pair_values(p, grid, omega, iu, ju, ms, quad, chunk,
+                        tiers) -> tuple:
+    """Kernel values for pair list (iu, ju), with the panel mesh TIERED by
+    the static index distance |i - j| (kernels.TIER_TABLE): near pairs get
+    the full mesh, far pairs -- where the integrand is glacially smooth --
+    a 2-4x coarser one.  ``tiers``: static ((ij_upper, scale), ...) from
+    ``kernels.tier_thresholds_ij``.  Group order is restored by a static
+    inverse permutation on (re, im) planes (complex gathers are
+    elementwise-only on TPU)."""
+    rdtype = grid.eta.dtype
+    dij = ju - iu
+    groups = []
+    lo = 0
+    for ij_ub, scale in tiers:
+        m = (dij >= lo) & (dij < ij_ub)
+        lo = ij_ub
+        if m.any():
+            groups.append((np.flatnonzero(m), scale))
+    parts = [[] for _ in ms]
+    order = []
+    for idx, scale in groups:
+        q_t = kernels.scaled_quad(quad, rdtype, scale)
+        ea = grid.eta[iu[idx]]
+        eb = grid.eta[ju[idx]]
+
+        def compute(args, q_t=q_t):
+            a, b = args
+            (vals), _err = kernels.kappa_f_tau(p, a, b, omega, ms=ms,
+                                               quad=q_t)
+            return vals
+        sub = _chunked(compute, (ea, eb), len(idx), chunk)
+        for k, v in enumerate(sub):
+            parts[k].append(v)
+        order.append(idx)
+    perm = np.argsort(np.concatenate(order))
+    out = []
+    for vs in parts:
+        re = jnp.concatenate([jnp.real(v).astype(rdtype) for v in vs])[perm]
+        im = jnp.concatenate([jnp.imag(v).astype(rdtype) for v in vs])[perm]
+        out.append(re + 1j * im)
+    return tuple(out)
+
+
+def assemble_matrix(p, grid: Grid, coeff, omega, quad=None, chunk: int = 2048,
+                    tiers=None):
     """Assemble the dense complex-symmetric M(omega).
 
     Electrostatic (beta_e == 0): dim = npoints,
@@ -80,6 +124,9 @@ def assemble_matrix(p, grid: Grid, coeff, omega, quad=None, chunk: int = 2048):
     Electromagnetic: dim = 2*npoints with the phi/A_par 2x2 block structure
     of solver.h:461-511: symmetric A (phi-phi), antisymmetric U (phi-A), and
     symmetric D (A-A) with diagonal 2 tau / beta_e * bi(eta_i).
+
+    ``tiers``: optional static |i - j| tier table (see
+    ``kernels.tier_thresholds_ij``) -- coarser panel meshes for far pairs.
     """
     n = grid.npoints
     dx = grid.dx
@@ -90,12 +137,17 @@ def assemble_matrix(p, grid: Grid, coeff, omega, quad=None, chunk: int = 2048):
 
     ms = (0, 1, 2) if p.electromagnetic else (0,)
 
-    def compute(args):
-        ea, eb = args
-        (vals), _err = kernels.kappa_f_tau(p, ea, eb, omega, ms=ms, quad=quad)
-        return vals
+    if tiers is not None:
+        vals = _tiered_pair_values(p, grid, omega, iu, ju, ms, quad, chunk,
+                                   tiers)
+    else:
+        def compute(args):
+            ea, eb = args
+            (vals), _err = kernels.kappa_f_tau(p, ea, eb, omega, ms=ms,
+                                               quad=quad)
+            return vals
 
-    vals = _chunked(compute, (eta_a, eta_b), len(iu), chunk)
+        vals = _chunked(compute, (eta_a, eta_b), len(iu), chunk)
     return _materialize_from_pairs(p, grid, coeff, vals, (eta_a, eta_b),
                                    (iu, ju), omega)
 
@@ -245,30 +297,31 @@ jax.tree_util.register_dataclass(
     EigenState, data_fields=["omega", "d_omega", "M", "dM"], meta_fields=[])
 
 
-def init_state(p, grid, coeff, omega_init, quad=None, chunk: int = 2048):
+def init_state(p, grid, coeff, omega_init, quad=None, chunk: int = 2048,
+               tiers=None):
     """Reference ctor seeding (solver.h:396-415): assemble at 0.99*w0 and w0,
     secant derivative from the pair."""
     omega_old = 0.99 * omega_init
     d_omega = 0.01 * omega_init
-    M_old = assemble_matrix(p, grid, coeff, omega_old, quad, chunk)
+    M_old = assemble_matrix(p, grid, coeff, omega_old, quad, chunk, tiers)
     omega = omega_old + d_omega
-    M = assemble_matrix(p, grid, coeff, omega, quad, chunk)
+    M = assemble_matrix(p, grid, coeff, omega, quad, chunk, tiers)
     dM = (M - M_old) / d_omega
     return EigenState(omega=omega, d_omega=d_omega, M=M, dM=dM)
 
 
 def newton_trace_step(p, grid, coeff, state: EigenState, quad=None,
-                      chunk: int = 2048) -> EigenState:
+                      chunk: int = 2048, tiers=None) -> EigenState:
     """One Newton-trace-secant iteration (solver.h:113-160)."""
     d_omega = -1.0 / linalg.complex_solve_trace(state.M, state.dM)
     omega = state.omega + d_omega
-    M_new = assemble_matrix(p, grid, coeff, omega, quad, chunk)
+    M_new = assemble_matrix(p, grid, coeff, omega, quad, chunk, tiers)
     dM = (M_new - state.M) / d_omega
     return EigenState(omega=omega, d_omega=d_omega, M=M_new, dM=dM)
 
 
 def newton_qr_secant_step(p, grid, coeff, state: EigenState, quad=None,
-                          chunk: int = 2048) -> EigenState:
+                          chunk: int = 2048, tiers=None) -> EigenState:
     """The reference's alternative "QRSecant" iteration (solver.h:210-383)
     re-derived TPU-first.
 
@@ -290,7 +343,7 @@ def newton_qr_secant_step(p, grid, coeff, state: EigenState, quad=None,
     den = linalg.complex_bilinear(v, state.dM)
     d_omega = -num / den
     omega = state.omega + d_omega
-    M_new = assemble_matrix(p, grid, coeff, omega, quad, chunk)
+    M_new = assemble_matrix(p, grid, coeff, omega, quad, chunk, tiers)
     dM = (M_new - state.M) / d_omega
     return EigenState(omega=omega, d_omega=d_omega, M=M_new, dM=dM)
 
@@ -317,27 +370,28 @@ def fetch_complex(x) -> complex:
 _SOLVE_JIT_CACHE: dict = {}
 
 
-def _solve_fns(method: str, quad, chunk: int, cdtype):
-    """Per-(method, quad, chunk, dtype) jitted step/init pair, cached at
-    module level so repeated ``solve`` calls (parameter scans!) reuse the
+def _solve_fns(method: str, quad, chunk: int, cdtype, tiers=None):
+    """Per-(method, quad, chunk, dtype, tiers) jitted step/init pair, cached
+    at module level so repeated ``solve`` calls (parameter scans!) reuse the
     compiled executables instead of re-deserializing from the persistent
     compile cache each call."""
     qkey = tuple(sorted(quad.items())) if quad else None
-    key = (method, qkey, chunk, jnp.dtype(cdtype).name)
+    key = (method, qkey, chunk, jnp.dtype(cdtype).name, tiers)
     if key not in _SOLVE_JIT_CACHE:
         step_fn = newton_trace_step if method == "TraceSecant" \
             else newton_qr_secant_step
-        step = jax.jit(partial(step_fn, quad=quad, chunk=chunk))
+        step = jax.jit(partial(step_fn, quad=quad, chunk=chunk, tiers=tiers))
         # complex host->device transfers are unsupported on TPU: ship
         # (re, im) floats and combine on device.
         init = jax.jit(lambda p, g, c, re, im: init_state(
-            p, g, c, (re + 1j * im).astype(cdtype), quad, chunk))
+            p, g, c, (re + 1j * im).astype(cdtype), quad, chunk, tiers))
         _SOLVE_JIT_CACHE[key] = (step, init)
     return _SOLVE_JIT_CACHE[key]
 
 
 def host64_polish(p, grid, coeff, state: EigenState, tol: float,
-                  max_steps: int = 8, quad=None, chunk: int = 2048):
+                  max_steps: int = 8, quad=None, chunk: int = 2048,
+                  tiers=None):
     """Hybrid-precision refinement: device (f32) assembly + HOST complex128
     linear algebra.
 
@@ -354,7 +408,7 @@ def host64_polish(p, grid, coeff, state: EigenState, tol: float,
 
     from ..utils.transfer import fetch
 
-    assemble = _assemble_fns(quad, chunk, grid.eta.dtype)
+    assemble = _assemble_fns(quad, chunk, grid.eta.dtype, tiers)
 
     def null_vec(lu):
         rng = np.random.default_rng(0)
@@ -397,21 +451,22 @@ def host64_polish(p, grid, coeff, state: EigenState, tol: float,
 _ASSEMBLE_JIT_CACHE: dict = {}
 
 
-def _assemble_fns(quad, chunk: int, dtype):
+def _assemble_fns(quad, chunk: int, dtype, tiers=None):
     """Cached jitted assembly (p, grid, coeff, re, im) -> M."""
     qkey = tuple(sorted(quad.items())) if quad else None
-    key = (qkey, chunk, jnp.dtype(dtype).name)
+    key = (qkey, chunk, jnp.dtype(dtype).name, tiers)
     if key not in _ASSEMBLE_JIT_CACHE:
         cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
         fn = jax.jit(lambda p, g, c, re, im: assemble_matrix(
-            p, g, c, (re + 1j * im).astype(cdtype), quad, chunk))
+            p, g, c, (re + 1j * im).astype(cdtype), quad, chunk, tiers))
         _ASSEMBLE_JIT_CACHE[key] = fn
     return _ASSEMBLE_JIT_CACHE[key]
 
 
 def solve(p, omega_init, tol: float | None = None, quad=None,
           chunk: int = 2048, callback=None, dtype=None,
-          method: str = "TraceSecant", host64: bool = False):
+          method: str = "TraceSecant", host64: bool = False,
+          tiered: bool | None = None):
     """Full eigen solve on host: returns (omega, eigenvector, n_steps, state).
 
     Convergence: |d_omega| < tol * |omega| within iteration_step_limit steps
@@ -419,6 +474,12 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
     variant, selected like main.cpp:45-49.  ``host64=True`` appends the
     hybrid-precision polish (device assembly + host complex128 linalg) --
     the way to reach the reference's 1e-6 tolerance on a TPU without f64.
+
+    ``tiered``: coarser panel meshes for far |eta - eta'| pairs
+    (kernels.TIER_TABLE; ~2.7x fewer integrand evals at the canonical
+    tokamak).  Default: on for f32 (where the tier truncation error sits
+    below the arithmetic rounding floor), off for f64 (the golden-parity
+    validation path).
     """
     tol = tol if tol is not None else 1e-6
     dtype = dtype if dtype is not None else jnp.asarray(p.length).dtype
@@ -426,7 +487,14 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
     grid = Grid.create(p.length, p.npoints, dtype=dtype)
     coeff = singularity_coeff_matrix(p.npoints, dtype=dtype)
 
-    step, init = _solve_fns(method, quad, chunk, cdtype)
+    if tiered is None:
+        tiered = dtype == jnp.float32
+    tiers = None
+    if tiered:
+        dx = 2.0 * float(p.length) / (p.npoints - 1)
+        tiers = kernels.tier_thresholds_ij(dx, p.npoints)
+
+    step, init = _solve_fns(method, quad, chunk, cdtype, tiers)
     omega_init = complex(omega_init)
     state = init(p, grid, coeff, jnp.asarray(omega_init.real, dtype),
                  jnp.asarray(omega_init.imag, dtype))
@@ -443,7 +511,7 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
             break
     if host64:
         omega, v, extra = host64_polish(p, grid, coeff, state, tol,
-                                        quad=quad, chunk=chunk)
+                                        quad=quad, chunk=chunk, tiers=tiers)
         return omega, v, n_steps + extra, state
     vec = null_space(state.M)
     return fetch_complex(state.omega), vec, n_steps, state

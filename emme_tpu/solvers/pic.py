@@ -319,13 +319,15 @@ def rk3_error_estimate(v, dt, norm_fn):
     return norm_fn(combo, dt)
 
 
-def rk3_step(p, s: PICState, dt, qn_coef, density_reduce=None):
+def rk3_step(p, s: PICState, dt, qn_coef, density_reduce=None,
+             gather_method: str | None = None,
+             deposit_method: str | None = None):
     """PIC instantiation of the 3-stage scheme."""
     return rk3_generic(
         s,
-        lambda st: put_velocity(p, st),
+        lambda st: put_velocity(p, st, gather_method),
         lambda st, vel, sub_dt: update(p, st, vel, sub_dt, qn_coef,
-                                       density_reduce),
+                                       density_reduce, deposit_method),
         dt)
 
 
@@ -339,16 +341,21 @@ def field_stats(field):
 
 
 def run(p, marker_per_cell: int, n_steps: int, dt, key=None,
-        density_reduce=None, record_fields: bool = False):
+        density_reduce=None, record_fields: bool = False,
+        gather_method: str | None = None,
+        deposit_method: str | None = None):
     """Full PIC run under lax.scan.  Returns (stats (n_steps, 3), final state,
-    optionally the per-step fields)."""
+    optionally the per-step fields).  ``gather_method``/``deposit_method``
+    select the CIC kernels ('take'/'matmul', 'segment'/'matmul'; None =
+    per-backend default)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     dtype = jnp.asarray(p.length).dtype
     s0 = init_state(p, marker_per_cell, key, dtype=dtype)
     qn_coef = quasi_neutrality_coef(p, dtype=dtype)
 
     def body(s, _):
-        s, _v = rk3_step(p, s, dt, qn_coef, density_reduce)
+        s, _v = rk3_step(p, s, dt, qn_coef, density_reduce,
+                         gather_method, deposit_method)
         out = (field_stats(s.field), s.field) if record_fields \
             else (field_stats(s.field), None)
         return s, out
@@ -356,6 +363,85 @@ def run(p, marker_per_cell: int, n_steps: int, dt, key=None,
     s_final, outs = jax.lax.scan(body, s0, None, length=n_steps)
     stats, fields = outs
     return stats, s_final, fields
+
+
+def run_timed(p, marker_per_cell: int, n_steps: int, dt, key=None,
+              record_fields: bool = False):
+    """Observability variant of ``run``: host-driven step loop with the
+    reference's per-phase timer sections ("Particle Pushing", "Field Solve",
+    "Diagnostics"; solver_pic.h:127-155) around separately-jitted phases.
+    Slower than the fused lax.scan run (per-step dispatches + syncs) -- use
+    to see the push/deposit/diagnose split on the device timeline.
+    Returns (stats, final state, fields or None)."""
+    from ..utils.timer import section
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    dtype = jnp.asarray(p.length).dtype
+    with section("Initial"):
+        s0 = init_state(p, marker_per_cell, key, dtype=dtype)
+        qn_coef = quasi_neutrality_coef(p, dtype=dtype)
+        jax.block_until_ready(s0.field)
+
+    vel_jit = jax.jit(lambda s: put_velocity(p, s))
+
+    def _upd(s, vel, sub_dt):
+        eta = s.eta + s.v_para * sub_dt / (p.q * p.R)
+        eta = jnp.mod(eta + p.length, 2.0 * p.length) - p.length
+        weight = s.weight + vel * sub_dt
+        return PICState(eta=eta, v_para=s.v_para, v_perp=s.v_perp,
+                        weight=weight, omega_dv=s.omega_dv,
+                        omega_st=s.omega_st, p_weight=s.p_weight, j0=s.j0,
+                        dc_pb=s.dc_pb, field=s.field)
+
+    upd_jit = jax.jit(_upd)
+    field_jit = jax.jit(lambda s: solve_field(p, s, qn_coef))
+    stats_jit = jax.jit(field_stats)
+
+    s = s0
+    stats_l, fields_l = [], []
+    for _ in range(n_steps):
+        v = []
+        for stage in range(3):
+            with section("Particle Pushing"):
+                v.append(vel_jit(s))
+                combo = jax.tree_util.tree_map(
+                    lambda *xs: sum(RK_COEF[stage][k] * x
+                                    for k, x in enumerate(xs)), *v)
+                s = upd_jit(s, combo, RK_COEF[stage][stage + 1] * dt)
+                jax.block_until_ready(s.weight)
+            with section("Field Solve"):
+                s = field_jit(s)
+                jax.block_until_ready(s.field)
+        with section("Diagnostics"):
+            stats_l.append(np.asarray(stats_jit(s.field)))
+            if record_fields:
+                fields_l.append(np.asarray(s.field))
+    stats = np.stack(stats_l)
+    fields = np.stack(fields_l) if record_fields else None
+    return stats, s, fields
+
+
+def run_adaptive(p, marker_per_cell: int, total_time: float, dt0, key=None,
+                 upper_err_bound=1e-7, lower_err_bound=1e-10):
+    """Adaptive-step PIC run to t = total_time using ``step_adaptive``
+    (the reference Integrator's embedded-error doubling/halving,
+    solver_pic.h:437-457, which its main() never wires up -- exposed here
+    through the config surface).  Returns (times, stats, final state):
+    ``times`` are the accepted step END times (nonuniform)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    dtype = jnp.asarray(p.length).dtype
+    s = init_state(p, marker_per_cell, key, dtype=dtype)
+    qn_coef = quasi_neutrality_coef(p, dtype=dtype)
+    t, dt = 0.0, float(dt0)
+    times, stats_l = [], []
+    while t < total_time - 1e-12:
+        dt = min(dt, total_time - t)
+        s, dt_taken, dt = step_adaptive(p, s, dt, qn_coef,
+                                        upper_err_bound, lower_err_bound)
+        t += dt_taken
+        times.append(t)
+        stats_l.append(np.asarray(field_stats(s.field)))
+    return np.asarray(times), np.stack(stats_l), s
 
 
 def _fit_gamma(second, dt):
@@ -389,6 +475,27 @@ def calculate_omega(stats, dt):
     omega = 0.0
     if len(peaks) > 1:
         omega = np.pi * (len(peaks) - 1) / (dt * (peaks[-1] - peaks[0]))
+    return complex(omega, gamma)
+
+
+def calculate_omega_nonuniform(times, stats):
+    """(omega, gamma) fit for ADAPTIVE-step runs (nonuniform sample times
+    from ``run_adaptive``): gamma by LSQ slope of log rms(phi) against the
+    actual times over the second half; omega by peak counting against the
+    actual peak times (the uniform-dt generalization of calculate_omega)."""
+    times = np.asarray(times)
+    stats = np.asarray(stats)
+    n = len(stats) // 2
+    t = times[n:]
+    second = stats[n:]
+    gamma = np.polyfit(t, np.log(second[:, 2]), 1)[0]
+
+    real_log = np.log(np.abs(second[:, 0]))
+    peaks = [i for i in range(1, len(real_log) - 1)
+             if real_log[i] > real_log[i - 1] and real_log[i] > real_log[i + 1]]
+    omega = 0.0
+    if len(peaks) > 1:
+        omega = np.pi * (len(peaks) - 1) / (t[peaks[-1]] - t[peaks[0]])
     return complex(omega, gamma)
 
 

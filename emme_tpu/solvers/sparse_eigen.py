@@ -121,8 +121,16 @@ def _cdot_bilinear(vr, vi, wr, wi):
 # direct-to-BDIA assembly
 # ---------------------------------------------------------------------------
 
+def tier_scale_for(ij_min: int, tiers) -> float:
+    """Panel-count scale of the tier containing index distance ij_min."""
+    for ij_ub, scale in tiers:
+        if ij_min < ij_ub:
+            return scale
+    return tiers[-1][1]
+
+
 def assemble_bdia(p, grid: Grid, coeff_band, omega, h: int, block: int,
-                  quad=None, chunk: int = 4096) -> BDIAOperator:
+                  quad=None, chunk: int = 4096, tiers=None) -> BDIAOperator:
     """Assemble the electrostatic operator directly into BDIA block storage.
 
     Evaluates kernel integrals only for pairs in block diagonals 0..h (the
@@ -137,7 +145,7 @@ def assemble_bdia(p, grid: Grid, coeff_band, omega, h: int, block: int,
     """
     if p.electromagnetic:
         return _assemble_bdia_em(p, grid, coeff_band, omega, h, block,
-                                 quad, chunk)
+                                 quad, chunk, tiers)
     n = grid.npoints
     bs = block
     nb = n // bs
@@ -145,11 +153,6 @@ def assemble_bdia(p, grid: Grid, coeff_band, omega, h: int, block: int,
     eta = grid.eta
     rdtype = eta.dtype
     cw = coeff_band.shape[1] // 2
-
-    def compute(args):
-        ea, eb = args
-        (vals), _ = kernels.kappa_f_tau(p, ea, eb, omega, ms=(0,), quad=quad)
-        return (vals[0],)
 
     diag_val = 1.0 + 1.0 / p.tau
 
@@ -169,6 +172,20 @@ def assemble_bdia(p, grid: Grid, coeff_band, omega, h: int, block: int,
             # dummy-shift the true diagonal so the integrand (which divides
             # by eta - eta') stays finite; overwritten below.
             eta_b = jnp.where(i_idx == j_idx, eta_a + dx, eta_b)
+        # |i - j| tier: the whole diagonal uses the scale of its NEAREST
+        # pair (conservative; kernels.TIER_TABLE)
+        quad_d = quad
+        if tiers is not None:
+            ij_min = 0 if d == 0 else (d - 1) * bs + 1
+            quad_d = kernels.scaled_quad(quad, rdtype,
+                                         tier_scale_for(ij_min, tiers))
+
+        def compute(args, quad_d=quad_d):
+            ea, eb = args
+            (vals), _ = kernels.kappa_f_tau(p, ea, eb, omega, ms=(0,),
+                                            quad=quad_d)
+            return (vals[0],)
+
         (k0,) = eigen_mod._chunked(compute, (eta_a, eta_b), len(i_idx), chunk)
         # the reference assembles the upper triangle and mirrors the WHOLE
         # entry including its coefficient (solver.h:446-459), so both
@@ -200,7 +217,8 @@ def assemble_bdia(p, grid: Grid, coeff_band, omega, h: int, block: int,
 
 
 def _assemble_bdia_em(p, grid: Grid, coeff_band, omega, h: int, block: int,
-                      quad=None, chunk: int = 4096) -> BDIAOperator:
+                      quad=None, chunk: int = 4096,
+                      tiers=None) -> BDIAOperator:
     """Electromagnetic direct-to-BDIA assembly in the INTERLEAVED ordering
     [phi_0, A_0, phi_1, A_1, ...] (matrix dim 2n).
 
@@ -241,13 +259,44 @@ def _assemble_bdia_em(p, grid: Grid, coeff_band, omega, h: int, block: int,
     eta_a = eta[ia]
     eta_b = eta[ja]
 
-    def compute(args):
-        ea, eb = args
-        vals, _ = kernels.kappa_f_tau(p, ea, eb, omega, ms=(0, 1, 2),
-                                      quad=quad)
-        return vals
+    def make_compute(q):
+        def compute(args):
+            ea, eb = args
+            vals, _ = kernels.kappa_f_tau(p, ea, eb, omega, ms=(0, 1, 2),
+                                          quad=q)
+            return vals
+        return compute
 
-    k0, k1, k2 = eigen_mod._chunked(compute, (eta_a, eta_b), len(ia), chunk)
+    if tiers is None:
+        k0, k1, k2 = eigen_mod._chunked(make_compute(quad),
+                                        (eta_a, eta_b), len(ia), chunk)
+    else:
+        # the flat pair list is ordered by de, so |i-j| tiers are contiguous
+        # slices: evaluate each with its scaled mesh and concatenate planes
+        # in order (no permutation needed)
+        cuts = [0]
+        scales = []
+        lo_de = 1
+        for ij_ub, scale in tiers:
+            hi_de = min(de_max, max(lo_de - 1, ij_ub - 1))
+            if hi_de >= lo_de:
+                cuts.append(int(starts[hi_de]))
+                scales.append(scale)
+                lo_de = hi_de + 1
+        if cuts[-1] != len(ia):
+            cuts.append(len(ia))
+            scales.append(tiers[-1][1])
+        subs = []
+        for s0, s1, scale in zip(cuts[:-1], cuts[1:], scales):
+            q_t = kernels.scaled_quad(quad, rdtype, scale)
+            subs.append(eigen_mod._chunked(
+                make_compute(q_t), (eta_a[s0:s1], eta_b[s0:s1]),
+                s1 - s0, chunk))
+        k0, k1, k2 = (
+            (jnp.concatenate([jnp.real(s[m]).astype(rdtype) for s in subs])
+             + 1j * jnp.concatenate([jnp.imag(s[m]).astype(rdtype)
+                                     for s in subs]))
+            for m in range(3))
     k1 = k1 + kernels.kappa_f_tau_e(p, eta_a, eta_b, omega, 1)
     k2 = k2 + kernels.kappa_f_tau_e(p, eta_a, eta_b, omega, 2)
     # (re, im) planes: TPU gathers are real-only (complex dtypes are
@@ -349,7 +398,8 @@ def _null_vector(lu, n, dtype, iters: int = 2):
 
 
 def trace_newton_step(p, grid, coeff_band, state: SparseEigenState,
-                      h: int, block: int, quad=None, chunk: int = 4096):
+                      h: int, block: int, quad=None, chunk: int = 4096,
+                      tiers=None):
     """One Newton-trace-secant step on the banded operator
     (solver.h:113-160): d_omega = -1 / tr(M^{-1} dM), with the banded trace
     computed EXACTLY by block-Takahashi selected inversion -- only the
@@ -363,13 +413,15 @@ def trace_newton_step(p, grid, coeff_band, state: SparseEigenState,
     tr = tr_r + 1j * tr_i
     d_omega = -1.0 / tr
     omega = state.omega + d_omega
-    M_new = assemble_bdia(p, grid, coeff_band, omega, h, block, quad, chunk)
+    M_new = assemble_bdia(p, grid, coeff_band, omega, h, block, quad, chunk,
+                          tiers)
     dM = bdia_secant(M_new, state.M, d_omega)
     return SparseEigenState(omega=omega, d_omega=d_omega, M=M_new, dM=dM)
 
 
 def bordered_newton_step(p, grid, coeff_band, state: SparseEigenState,
-                         h: int, block: int, quad=None, chunk: int = 4096):
+                         h: int, block: int, quad=None, chunk: int = 4096,
+                         tiers=None):
     """One banded bordered-Newton (QR-secant analogue) step:
     d_omega = -(v^T M v) / (v^T dM v) with v by banded inverse iteration."""
     lu = banded.banded_lu(state.M)
@@ -382,19 +434,22 @@ def bordered_newton_step(p, grid, coeff_band, state: SparseEigenState,
     den = dr + 1j * di
     d_omega = -num / den
     omega = state.omega + d_omega
-    M_new = assemble_bdia(p, grid, coeff_band, omega, h, block, quad, chunk)
+    M_new = assemble_bdia(p, grid, coeff_band, omega, h, block, quad, chunk,
+                          tiers)
     dM = bdia_secant(M_new, state.M, d_omega)
     return SparseEigenState(omega=omega, d_omega=d_omega, M=M_new, dM=dM)
 
 
 def init_state(p, grid, coeff_band, omega_init, h, block, quad=None,
-               chunk: int = 4096):
+               chunk: int = 4096, tiers=None):
     """Reference ctor seeding (solver.h:396-415), banded."""
     omega_old = 0.99 * omega_init
     d_omega = 0.01 * omega_init
-    M_old = assemble_bdia(p, grid, coeff_band, omega_old, h, block, quad, chunk)
+    M_old = assemble_bdia(p, grid, coeff_band, omega_old, h, block, quad,
+                          chunk, tiers)
     omega = omega_old + d_omega
-    M = assemble_bdia(p, grid, coeff_band, omega, h, block, quad, chunk)
+    M = assemble_bdia(p, grid, coeff_band, omega, h, block, quad, chunk,
+                      tiers)
     dM = bdia_secant(M, M_old, d_omega)
     return SparseEigenState(omega=omega, d_omega=d_omega, M=M, dM=dM)
 
@@ -416,7 +471,7 @@ def arnoldi_estimate(state: SparseEigenState, m_krylov: int):
 
 def host64_polish_banded(p, grid, coeff_band, state: SparseEigenState,
                          tol: float, h: int, block: int, max_steps: int = 8,
-                         quad=None, chunk: int = 4096):
+                         quad=None, chunk: int = 4096, tiers=None):
     """Hybrid refinement for f32 devices: device BANDED assembly + host
     complex128 banded linear algebra (scipy splu with natural ordering keeps
     the fill inside the band).  The banded twin of eigen.host64_polish --
@@ -473,7 +528,7 @@ def host64_polish_banded(p, grid, coeff_band, state: SparseEigenState,
             p, grid, coeff_band,
             jnp.asarray(omega.real, grid.eta.dtype)
             + 1j * jnp.asarray(omega.imag, grid.eta.dtype),
-            h, block, quad, chunk)
+            h, block, quad, chunk, tiers)
         A_new = to_csc(M_new)
         dA = (A_new - A) / d_omega
         A = A_new
@@ -486,17 +541,19 @@ def host64_polish_banded(p, grid, coeff_band, state: SparseEigenState,
 _JIT_CACHE: dict = {}
 
 
-def _fns(h, block, quad, chunk, dtype, method: str = "TraceSecant"):
+def _fns(h, block, quad, chunk, dtype, method: str = "TraceSecant",
+         tiers=None):
     qkey = tuple(sorted(quad.items())) if quad else None
-    key = (h, block, qkey, chunk, jnp.dtype(dtype).name, method)
+    key = (h, block, qkey, chunk, jnp.dtype(dtype).name, method, tiers)
     if key not in _JIT_CACHE:
         cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
         init = jax.jit(lambda p, g, cb, re, im: init_state(
-            p, g, cb, (re + 1j * im).astype(cdtype), h, block, quad, chunk))
+            p, g, cb, (re + 1j * im).astype(cdtype), h, block, quad, chunk,
+            tiers))
         step_fn = trace_newton_step if method == "TraceSecant" \
             else bordered_newton_step
         step = jax.jit(partial(step_fn, h=h, block=block,
-                               quad=quad, chunk=chunk))
+                               quad=quad, chunk=chunk, tiers=tiers))
         _JIT_CACHE[key] = (init, step, jax.jit(
             arnoldi_estimate, static_argnames=("m_krylov",)))
     return _JIT_CACHE[key]
@@ -506,7 +563,7 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
           chunk: int = 4096, dtype=None, band_deta: float | None = None,
           block: int | None = None, m_krylov: int = 0,
           host64: bool = False, stats: dict | None = None,
-          method: str = "TraceSecant"):
+          method: str = "TraceSecant", tiered: bool | None = None):
     """Sparse end-to-end eigensolve.  Returns (omega, eigenvector, steps,
     state); optionally fills ``stats`` with SpMV/assembly metrics.
 
@@ -531,7 +588,15 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
         else (h + 1) * block - 1
     coeff_band = singularity_coeff_band(p.npoints, w_el, dtype=dtype)
 
-    init, step, arnoldi_jit = _fns(h, block, quad, chunk, dtype, method)
+    if tiered is None:
+        tiered = dtype == jnp.float32
+    tiers = None
+    if tiered:
+        dxf = 2.0 * float(p.length) / (p.npoints - 1)
+        tiers = kernels.tier_thresholds_ij(dxf, p.npoints)
+
+    init, step, arnoldi_jit = _fns(h, block, quad, chunk, dtype, method,
+                                   tiers)
     omega_init = complex(omega_init)
     state = init(p, grid, coeff_band,
                  jnp.asarray(omega_init.real, dtype),
@@ -583,7 +648,8 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
 
     if host64:
         omega, v, extra = host64_polish_banded(
-            p, grid, coeff_band, state, tol, h, block, quad=quad, chunk=chunk)
+            p, grid, coeff_band, state, tol, h, block, quad=quad, chunk=chunk,
+            tiers=tiers)
         if p.electromagnetic:
             v = deinterleave(v)
         return omega, v, n_steps + extra, state

@@ -129,3 +129,51 @@ def test_driver_quad_guard_refine(tmp_path, tokamak_cfg):
     res = driver.run(cfg, output_dir=tmp_path, verbose=False)
     r = res["result"]["(None)"]["scan_result"][0]
     assert r["quadrature_guard"]["frac_flagged"] == 0.0
+
+
+def test_tiered_assembly_matches_full_mesh(tokamak_cfg):
+    """|i-j|-tiered panel meshes (far pairs coarser, kernels.TIER_TABLE):
+    the assembled operator agrees with the full-mesh one far below the
+    reference's 1e-6 acceptance criterion, at ~37% of the integrand work."""
+    from emme_tpu.ops import kernels as K
+
+    cfg = dict(tokamak_cfg, npoints=64)
+    p = from_config(cfg)
+    grid = Grid.create(p.length, p.npoints)
+    coeff = singularity_coeff_matrix(64)
+    om = jnp.complex128(-0.8 + 0.25j)
+    M_full = np.asarray(eigen.assemble_matrix(p, grid, coeff, om, chunk=512))
+    dx = 2.0 * float(p.length) / (p.npoints - 1)
+    tiers = K.tier_thresholds_ij(dx, 64)
+    M_tier = np.asarray(eigen.assemble_matrix(p, grid, coeff, om, chunk=512,
+                                              tiers=tiers))
+    # near pairs identical (same mesh), far pairs within the tier budget
+    assert np.abs(M_tier - M_full).max() < 1e-8
+    assert np.abs(M_tier - M_full).max() > 0  # tiers actually differ
+
+
+def test_tiered_solve_reaches_golden(tokamak_cfg, golden_eigenvalues):
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    om, _vec, steps, _ = eigen.solve(p, -0.8 + 0.25j, tol=1e-6, tiered=True)
+    ref = complex(*golden_eigenvalues["tok32"]["omega"])
+    assert abs(om - ref) / abs(ref) < 2e-6
+
+
+def test_tiered_sparse_assembly_matches(tokamak_cfg):
+    from emme_tpu.ops import kernels as K
+    from emme_tpu.ops.singularity import singularity_coeff_band
+    from emme_tpu.solvers import sparse_eigen
+
+    cfg = dict(tokamak_cfg, npoints=64)
+    p = from_config(cfg)
+    grid = Grid.create(p.length, p.npoints)
+    bs, h = 16, 3
+    cband = singularity_coeff_band(64, (h + 1) * bs - 1)
+    om = jnp.complex128(-0.8 + 0.25j)
+    dx = 2.0 * float(p.length) / 63
+    tiers = K.tier_thresholds_ij(dx, 64)
+    A = sparse_eigen.assemble_bdia(p, grid, cband, om, h, bs, chunk=512)
+    B = sparse_eigen.assemble_bdia(p, grid, cband, om, h, bs, chunk=512,
+                                   tiers=tiers)
+    assert float(jnp.abs(A.data - B.data).max()) < 1e-8

@@ -175,3 +175,55 @@ def test_step_adaptive(pic_params):
     s3, dt2, _ = pic.step_adaptive(p, s, 0.25, qn, upper_err_bound=1e-9,
                                    lower_err_bound=1e-14)
     assert dt2 < 0.25
+
+
+def test_run_timed_matches_fused_run(pic_params):
+    """The per-phase-timed host loop computes the same trajectory as the
+    fused lax.scan run (same key, same RK stages)."""
+    from emme_tpu.utils.timer import Timer
+
+    p = pic_params
+    key = jax.random.PRNGKey(3)
+    stats_a, s_a, _ = pic.run(p, 8, 5, 0.25, key=key)
+    stats_b, s_b, _ = pic.run_timed(p, 8, 5, 0.25, key=key)
+    np.testing.assert_allclose(np.asarray(stats_a), stats_b, rtol=1e-10)
+    # the reference's phase sections exist (solver_pic.h:127-155)
+    acc = Timer.get_timer()._acc
+    for name in ("Particle Pushing", "Field Solve", "Diagnostics"):
+        assert name in acc
+
+
+def test_run_adaptive_and_nonuniform_fit(pic_params):
+    p = pic_params
+    times, stats, s = pic.run_adaptive(p, 8, 1.0, 0.25, key=jax.random.PRNGKey(4),
+                                       upper_err_bound=1e-5)
+    assert times[-1] == pytest.approx(1.0, abs=1e-9)
+    assert len(times) == len(stats)
+    om = pic.calculate_omega_nonuniform(times, stats)
+    assert np.isfinite(om.real) and np.isfinite(om.imag)
+
+
+def test_run_gather_deposit_method_passthrough(pic_params):
+    p = pic_params
+    key = jax.random.PRNGKey(5)
+    a, _, _ = pic.run(p, 8, 3, 0.25, key=key, gather_method="take",
+                      deposit_method="segment")
+    b, _, _ = pic.run(p, 8, 3, 0.25, key=key, gather_method="matmul",
+                      deposit_method="matmul")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8)
+
+
+def test_driver_pic_adaptive_and_timers(tmp_path, tokamak_cfg):
+    from emme_tpu import driver
+
+    cfg = dict(tokamak_cfg, npoints=32, marker_per_cell=4, step_number=4,
+               method="PIC", time_step_adaptive=True)
+    res = driver.run(cfg, output_dir=tmp_path / "a", verbose=False)
+    r = res["result"]["(None)"]["scan_result"][0]
+    assert r["adaptive_steps"] >= 4
+    assert r["adaptive_final_time"] == pytest.approx(4 * 0.25)
+
+    cfg2 = dict(tokamak_cfg, npoints=32, marker_per_cell=4, step_number=3,
+                method="PIC", pic_timers=True)
+    res2 = driver.run(cfg2, output_dir=tmp_path / "b", verbose=False)
+    assert "eigenvalue" in res2["result"]["(None)"]["scan_result"][0]

@@ -178,3 +178,24 @@ def test_sparse_solve_stel32_golden(golden_eigenvalues, stellarator_cfg):
     gv = np.fromfile("tests/goldens/eigenvector_stel32.bin", np.complex128)
     corr = abs(np.vdot(gv, vec)) / (np.linalg.norm(gv) * np.linalg.norm(vec))
     assert corr > 1 - 1e-5
+
+
+def test_tiered_em_sparse_assembly_matches(stellarator_cfg):
+    """EM banded assembly with |i-j| tiers (contiguous de-group slicing of
+    the flat kernel table) agrees with the untiered operator."""
+    from emme_tpu.ops import kernels as K
+
+    cfg = dict(stellarator_cfg, npoints=32)
+    p = from_config(cfg)
+    grid = Grid.create(p.length, p.npoints)
+    bs, h = 16, 2
+    de_max = sparse_eigen.em_de_max(32, h, bs)
+    cband = singularity_coeff_band(32, de_max)
+    om = jnp.complex128(-1.656 + 2.49j)
+    dx = 2.0 * float(p.length) / 31
+    tiers = K.tier_thresholds_ij(dx, 32)
+    A = sparse_eigen.assemble_bdia(p, grid, cband, om, h, bs, chunk=512)
+    B = sparse_eigen.assemble_bdia(p, grid, cband, om, h, bs, chunk=512,
+                                   tiers=tiers)
+    assert float(jnp.abs(A.data - B.data).max()) < 1e-7
+    assert float(jnp.abs(A.data - B.data).max()) > 0
