@@ -29,6 +29,11 @@ def main(argv=None):
                     help="disable scan checkpoint/resume")
     ap.add_argument("--chunk", type=int, default=2048,
                     help="assembly pair-chunk size")
+    ap.add_argument("--scan-mode", choices=["wavefront", "independent"],
+                    default="wavefront",
+                    help="parallel-scan seeding: wavefront keeps eigenvalue "
+                         "continuation in batches; independent seeds every "
+                         "point from the user guess")
     ap.add_argument("--scan-workers", type=int, default=1,
                     help="device-parallel scan: fan this many concurrent "
                          "scan points out over the available devices "
@@ -50,7 +55,7 @@ def main(argv=None):
     driver.run(args.input, output_dir=args.output_dir, dtype=dtype,
                checkpoint=not args.no_checkpoint, verbose=not args.quiet,
                chunk=args.chunk, host64=args.host64,
-               scan_workers=args.scan_workers)
+               scan_workers=args.scan_workers, scan_mode=args.scan_mode)
     return 0
 
 

@@ -11,8 +11,9 @@ and the scan continues (main.cpp:262-324).
 
 Additions over the reference: checkpoint/resume of completed scan points, a
 selectable output directory, structured per-point timing, and a
-device-parallel scan mode (``scan_workers > 1``) that fans independent scan
-points out over the available devices.
+device-parallel scan mode (``scan_workers > 1``) that fans scan points out
+over the available devices -- by default in continuation-preserving
+wavefront batches (see ``_run_scan_parallel``).
 """
 
 from __future__ import annotations
@@ -249,24 +250,33 @@ _SOLVERS = {"eigen": solve_once_eigen, "PIC": solve_once_pic}
 
 
 def _run_scan_parallel(solver, input_cfg, key, spec, guess, outdir, done,
-                       record_ckpt, scan_workers, verbose, solver_kw):
-    """Device-parallel scan: independent scan points fan out over the
-    available devices (the SURVEY §2 plan's embarrassingly-parallel scan
-    axis, realized at driver level).
+                       record_ckpt, scan_workers, verbose, solver_kw,
+                       mode: str = "wavefront"):
+    """Device-parallel scan: scan points fan out over the available devices
+    (the SURVEY §2 plan's embarrassingly-parallel scan axis, realized at
+    driver level).
 
-    Unlike the sequential walk there is no eigenvalue continuation — every
-    point seeds from the user guess — so this mode suits scans where the
-    guess converges everywhere (it keeps the per-point NaN fault capture
-    for the rest).  jax.default_device is a thread-local config context, so
-    each worker pins its arrays (and hence its jitted executions) to its
-    own device; compiled executables are shared across workers."""
+    ``mode="wavefront"`` (default) KEEPS eigenvalue continuation -- the
+    reference scan's core semantic (main.cpp:263, 281-291) -- while still
+    filling ``scan_workers`` devices: the walk order is processed in
+    batches of ``scan_workers`` points, every point in a batch seeded from
+    the last converged omega of the previous batch (on a direction flip the
+    seed resets to the first result, exactly like the sequential walk).
+    The seed lags at most ``scan_workers`` points behind, vs the sequential
+    walk's one.
+
+    ``mode="independent"`` seeds every point from the user guess -- maximal
+    parallelism for scans where the guess converges everywhere.
+
+    jax.default_device is a thread-local config context, so each worker
+    pins its arrays (and hence its jitted executions) to its own device;
+    compiled executables are shared across workers."""
     devices = jax.devices()
-    values, _ = scan_values(spec)
+    values, turnings = scan_values(spec)
     cfg0 = filter_input(input_cfg)
     lock = threading.Lock()
 
-    def solve_point(i_value):
-        i, value = i_value
+    def solve_point(i, value, seed_omega):
         ck = f"{key}={value!r}"
         with lock:
             if ck in done:
@@ -276,7 +286,8 @@ def _run_scan_parallel(solver, input_cfg, key, spec, guess, outdir, done,
         mfile = outdir / "eigenMatrics" / f"{key}Eq{value:.6f}.bin"
         with jax.default_device(devices[i % len(devices)]):
             try:
-                res, _ = solver(cfg, guess, matrix_file=mfile, **solver_kw)
+                res, _ = solver(cfg, seed_omega, matrix_file=mfile,
+                                **solver_kw)
                 res["eigenMatrix"] = str(mfile)
                 res["scan_value"] = value
             except Exception as e:  # scan-level fault tolerance
@@ -292,8 +303,38 @@ def _run_scan_parallel(solver, input_cfg, key, spec, guess, outdir, done,
         record_ckpt(snapshot)
         return i, value, res
 
+    results = []
     with concurrent.futures.ThreadPoolExecutor(scan_workers) as ex:
-        results = list(ex.map(solve_point, enumerate(values)))
+        if mode == "independent":
+            results = list(ex.map(
+                lambda iv: solve_point(iv[0], iv[1], guess),
+                enumerate(values)))
+        else:  # wavefront
+            omega = guess
+            i = 0
+            while i < len(values):
+                # a direction flip starts a new chain: reseed from the
+                # first result (main.cpp:281-291) and a fresh batch
+                batch = []
+                for j in range(i, min(i + scan_workers, len(values))):
+                    if turnings[j] and j > i:
+                        break
+                    batch.append(j)
+                if turnings[batch[0]]:
+                    first = results[0][2] if results else None
+                    if first and isinstance(first.get("eigenvalue"), list):
+                        omega = complex(*first["eigenvalue"])
+                    else:
+                        omega = guess
+                out = list(ex.map(
+                    lambda j, om=omega: solve_point(j, values[j], om),
+                    batch))
+                results.extend(out)
+                # continuation: seed the next batch from the last
+                # converged point of this one (NaN resets to the guess)
+                ev = out[-1][2].get("eigenvalue")
+                omega = complex(*ev) if isinstance(ev, list) else guess
+                i = batch[-1] + 1
     results.sort(key=lambda r: r[0])
     return {"scan_key": key,
             "scan_values": [v for _, v, _ in results],
@@ -303,9 +344,16 @@ def _run_scan_parallel(solver, input_cfg, key, spec, guess, outdir, done,
 def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
         dtype=jnp.float64, checkpoint: bool = True, verbose: bool = True,
         quad=None, chunk: int = 2048, host64: bool = False,
-        scan_workers: int = 1) -> dict:
+        scan_workers: int = 1, scan_mode: str = "wavefront") -> dict:
     """Execute the full (possibly scanning) job; writes output.json and
-    binary matrix dumps under ``output_dir``; returns the result object."""
+    binary matrix dumps under ``output_dir``; returns the result object.
+
+    ``scan_mode`` (with scan_workers > 1): "wavefront" keeps eigenvalue
+    continuation in batches of scan_workers; "independent" seeds every
+    point from the user guess."""
+    if scan_mode not in ("wavefront", "independent"):
+        raise ValueError(f"scan_mode must be 'wavefront' or 'independent', "
+                         f"got {scan_mode!r}")
     if not isinstance(input_cfg, dict):
         with open(input_cfg) as f:
             input_cfg = json.load(f)
@@ -366,7 +414,8 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
                       f"{len(jax.devices())} devices)")
             result["result"][key] = _run_scan_parallel(
                 solver, input_cfg, key, spec, guess, outdir, done,
-                record_ckpt, scan_workers, verbose, solver_kw)
+                record_ckpt, scan_workers, verbose, solver_kw,
+                mode=scan_mode)
     else:
         for key, spec in scan_config.items():
             cfg = filter_input(input_cfg)

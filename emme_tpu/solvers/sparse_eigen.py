@@ -560,7 +560,7 @@ def _fns(h, block, quad, chunk, dtype, method: str = "TraceSecant",
 
 
 def solve(p, omega_init, tol: float | None = None, quad=None,
-          chunk: int = 4096, dtype=None, band_deta: float | None = None,
+          chunk: int = 16384, dtype=None, band_deta: float | None = None,
           block: int | None = None, m_krylov: int = 0,
           host64: bool = False, stats: dict | None = None,
           method: str = "TraceSecant", tiered: bool | None = None):
@@ -634,16 +634,28 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
         stats["h"] = h
         stats["band_fraction"] = state.M.nnz / (state.M.n ** 2)
         # live-operator SpMV rate (the BASELINE nnz/s metric, measured on
-        # the operator the solve actually used)
+        # the operator the solve actually used).  The reps chain inside ONE
+        # jitted fori_loop (x renormalized each step so nothing hoists):
+        # per-dispatch latency (~25 ms through the axon tunnel) would
+        # otherwise swamp small operators, and block_until_ready does not
+        # drain the queue there -- the scalar fetch at the end does.
+        reps = 50
+
+        @jax.jit
+        def mv_chain(M, xr, xi):
+            def body(_, c):
+                xr, xi = c
+                yr, yi = bdia_matvec(M, xr, xi)
+                nrm = jnp.sqrt(jnp.sum(yr * yr + yi * yi)) + 1e-30
+                return yr / nrm, yi / nrm
+            xr, xi = jax.lax.fori_loop(0, reps, body, (xr, xi))
+            return xr.sum() + xi.sum()
+
         xr = jnp.ones((state.M.n,), dtype)
         xi = jnp.zeros((state.M.n,), dtype)
-        mv = jax.jit(bdia_matvec)
-        jax.block_until_ready(mv(state.M, xr, xi))
+        float(mv_chain(state.M, xr, xi))  # compile + warm
         t0 = time.time()
-        reps = 20
-        for _ in range(reps):
-            yr, yi = mv(state.M, xr, xi)
-        jax.block_until_ready((yr, yi))
+        float(mv_chain(state.M, xr, xi))
         stats["spmv_nnz_per_s"] = state.M.nnz * reps / (time.time() - t0)
 
     if host64:

@@ -223,3 +223,23 @@ def test_driver_bad_backend_raises(tokamak_cfg, tmp_path):
     cfg["eigen_backend"] = "magic"
     with pytest.raises(ValueError, match="eigen_backend"):
         driver.run(cfg, output_dir=tmp_path, verbose=False)
+
+
+def test_wavefront_scan_matches_sequential(tmp_path, tokamak_cfg,
+                                           goldens_dir):
+    """Wavefront-parallel scan (batched continuation) reproduces the
+    sequential scan's eigenvalues -- continuation semantics preserved
+    (main.cpp:263, 281-291), unlike the 'independent' mode."""
+    cfg = dict(tokamak_cfg, npoints=32)
+    cfg["eta_i"] = {"head": 3.13, "step": 0.2, "tail": 3.93}
+    seq = driver.run(dict(cfg), output_dir=tmp_path / "seq", verbose=False,
+                     checkpoint=False)
+    wav = driver.run(dict(cfg), output_dir=tmp_path / "wav", verbose=False,
+                     checkpoint=False, scan_workers=2,
+                     scan_mode="wavefront")
+    ev_s = [r["eigenvalue"] for r in seq["result"]["eta_i"]["scan_result"]]
+    ev_w = [r["eigenvalue"] for r in wav["result"]["eta_i"]["scan_result"]]
+    assert wav["result"]["eta_i"]["scan_values"] == \
+        seq["result"]["eta_i"]["scan_values"]
+    for a, b in zip(ev_s, ev_w):
+        assert abs(complex(*a) - complex(*b)) / abs(complex(*a)) < 1e-6
