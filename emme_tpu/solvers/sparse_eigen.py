@@ -514,6 +514,9 @@ def host64_polish_banded(p, grid, coeff_band, state: SparseEigenState,
     omega = eigen_mod.fetch_complex(state.omega)
     A = to_csc(state.M)
     dA = to_csc(state.dM)
+    # device assembly via the jitted (re, im)-input wrapper: eager complex
+    # scalar ops (even omega construction) are unimplemented on TPU
+    assemble = _assemble_jit(h, block, quad, chunk, grid.eta.dtype, tiers)
     steps = 0
     v = None
     for _ in range(max_steps):
@@ -524,11 +527,9 @@ def host64_polish_banded(p, grid, coeff_band, state: SparseEigenState,
         steps += 1
         if abs(d_omega) < tol * abs(omega):
             break
-        M_new = assemble_bdia(
-            p, grid, coeff_band,
-            jnp.asarray(omega.real, grid.eta.dtype)
-            + 1j * jnp.asarray(omega.imag, grid.eta.dtype),
-            h, block, quad, chunk, tiers)
+        M_new = assemble(p, grid, coeff_band,
+                         jnp.asarray(omega.real, grid.eta.dtype),
+                         jnp.asarray(omega.imag, grid.eta.dtype))
         A_new = to_csc(M_new)
         dA = (A_new - A) / d_omega
         A = A_new
@@ -539,6 +540,20 @@ def host64_polish_banded(p, grid, coeff_band, state: SparseEigenState,
 
 
 _JIT_CACHE: dict = {}
+_ASSEMBLE_BDIA_JIT: dict = {}
+
+
+def _assemble_jit(h, block, quad, chunk, dtype, tiers=None):
+    """Cached jitted banded assembly (p, grid, coeff_band, re, im) -> BDIA."""
+    qkey = tuple(sorted(quad.items())) if quad else None
+    key = (h, block, qkey, chunk, jnp.dtype(dtype).name, tiers)
+    if key not in _ASSEMBLE_BDIA_JIT:
+        cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        _ASSEMBLE_BDIA_JIT[key] = jax.jit(
+            lambda p, g, cb, re, im: assemble_bdia(
+                p, g, cb, (re + 1j * im).astype(cdtype), h, block, quad,
+                chunk, tiers))
+    return _ASSEMBLE_BDIA_JIT[key]
 
 
 def _fns(h, block, quad, chunk, dtype, method: str = "TraceSecant",
