@@ -539,6 +539,45 @@ def host64_polish_banded(p, grid, coeff_band, state: SparseEigenState,
     return omega, v, steps
 
 
+def solve_shifts(p, sigmas, tol: float | None = None, m_krylov: int = 16,
+                 workers: int = 1, **kw):
+    """Banded multi-shift eigensolve (BASELINE config 5 building block):
+    for every shift sigma run the shift-invert Arnoldi stage + banded
+    Newton polish of ``solve`` and return the full eigen-pairs.
+
+    Unlike the dense ``arnoldi.solve_shifts_batched`` (omega estimates
+    only; vmapped dense LU = O(shifts * n^2) memory), each shift here
+    costs O(n * band) memory and returns (omega, eigenvector, steps).
+    All shifts share one compiled executable set (the _fns cache), and
+    ``workers > 1`` fans shifts out over the available devices the same
+    way the driver's parallel scan does (each worker pins its arrays to a
+    device via the thread-local jax.default_device).
+
+    Returns list of (omega, vector, steps) in sigma order; a failed shift
+    yields (nan, None, 0) instead of raising.
+    """
+    import concurrent.futures
+
+    import jax as _jax
+
+    def one(args):
+        i, sig = args
+        devs = _jax.devices()
+        with _jax.default_device(devs[i % len(devs)]):
+            try:
+                om, vec, steps, _ = solve(p, sig, tol=tol,
+                                          m_krylov=m_krylov, **kw)
+                return om, vec, steps
+            except Exception:
+                return complex(float("nan"), float("nan")), None, 0
+
+    items = list(enumerate([complex(s) for s in np.asarray(sigmas)]))
+    if workers <= 1:
+        return [one(it) for it in items]
+    with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+        return list(ex.map(one, items))
+
+
 _JIT_CACHE: dict = {}
 _ASSEMBLE_BDIA_JIT: dict = {}
 

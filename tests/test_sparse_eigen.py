@@ -199,3 +199,19 @@ def test_tiered_em_sparse_assembly_matches(stellarator_cfg):
                                    tiers=tiers)
     assert float(jnp.abs(A.data - B.data).max()) < 1e-7
     assert float(jnp.abs(A.data - B.data).max()) > 0
+
+
+def test_solve_shifts_banded_multishift(golden_eigenvalues, tokamak_cfg):
+    """Multi-shift banded eigensolve: full eigenpairs per shift at
+    O(n*band) memory, shifts fanned over devices (BASELINE config 5
+    building block; supersedes the dense estimate-only batched Arnoldi)."""
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    out = sparse_eigen.solve_shifts(
+        p, [-0.8 + 0.25j, -0.5 + 0.2j], tol=1e-6, m_krylov=12,
+        workers=2, block=8, band_deta=20.0)
+    ref = complex(*golden_eigenvalues["tok32"]["omega"])
+    for om, vec, steps in out:
+        assert abs(om - ref) / abs(ref) < 2e-6
+        assert vec is not None and len(vec) == 32
+        assert steps > 0
