@@ -65,10 +65,10 @@ def main():
         return jax.lax.fori_loop(0, iters, body, x)
 
     x = jnp.linspace(0.1, 1.1, NE, dtype=dtype)
-    drain(exp_chain(x, 2)); drain(exp_chain(x, 82))
+    drain(exp_chain(x, 2)); drain(exp_chain(x, 802))
     t2 = min(_timed(lambda: drain(exp_chain(x, 2))) for _ in range(5))
-    t82 = min(_timed(lambda: drain(exp_chain(x, 82))) for _ in range(5))
-    exp_per_s = NE * 80 / (t82 - t2)
+    t802 = min(_timed(lambda: drain(exp_chain(x, 802))) for _ in range(5))
+    exp_per_s = NE * 800 / (t802 - t2)
     print(json.dumps({"bench": "exp_ceiling", "cexp_per_s": exp_per_s,
                       "unit": "complex-exp/s"}), flush=True)
 
@@ -80,7 +80,7 @@ def main():
     grid = Grid.create(p.length, p.npoints, dtype=dtype)
     om = complex(-0.8323805740805391, 0.2565467084687576)
 
-    NP = 4096
+    NP = 16384
     rng_eta = jnp.linspace(-19.0, 19.0, NP).astype(dtype)
     eta_b = rng_eta + jnp.abs(jnp.sin(rng_eta * 13.7)) * 3.0 + 0.05
 
@@ -102,12 +102,12 @@ def main():
         return run
 
     f1 = sweep(1)
-    f9 = sweep(9)
+    f41 = sweep(41)
     a = (jnp.asarray(om.real, dtype), jnp.asarray(om.imag, dtype))
-    drain(f1(rng_eta, eta_b, *a)); drain(f9(rng_eta, eta_b, *a))
+    drain(f1(rng_eta, eta_b, *a)); drain(f41(rng_eta, eta_b, *a))
     ta = min(_timed(lambda: drain(f1(rng_eta, eta_b, *a))) for _ in range(3))
-    tb = min(_timed(lambda: drain(f9(rng_eta, eta_b, *a))) for _ in range(3))
-    nodes_per_s = NP * nodes_per_pair * 8 / (tb - ta)
+    tb = min(_timed(lambda: drain(f41(rng_eta, eta_b, *a))) for _ in range(3))
+    nodes_per_s = NP * nodes_per_pair * 40 / (tb - ta)
     print(json.dumps({"bench": "kernel_sweep", "nodes_per_s": nodes_per_s,
                       "nodes_per_pair": nodes_per_pair,
                       "pairs_per_s": nodes_per_s / nodes_per_pair}),
@@ -129,7 +129,7 @@ def main():
         M = fn(p, grid, coeff, *a)
         drain(M)
         best = 1e9
-        for _ in range(3):
+        for _ in range(6):
             t0 = time.time()
             M = fn(p, grid, coeff, *a)
             drain(M)
