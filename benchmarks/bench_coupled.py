@@ -16,6 +16,7 @@ markers resident in HBM.  Prints one JSON line with coupled steps/s.
 
 import json
 import pathlib
+from functools import partial
 import sys
 import time
 
@@ -53,18 +54,21 @@ def main():
     w_el = (h + 1) * block - 1
     cband = singularity_coeff_band(p.npoints, w_el, dtype=dtype)
     dxf = 2.0 * float(p.length) / (p.npoints - 1)
-    tiers = kernels_tiers = None
+    tiers = None
     if dtype == jnp.float32:
         from emme_tpu.ops import kernels
         tiers = kernels.tier_thresholds_ij(dxf, p.npoints)
-    om = jnp.asarray(-0.832, dtype) + 1j * jnp.asarray(0.257, dtype)
-    M = jax.jit(lambda: sparse_eigen.assemble_bdia(
-        p, grid, cband, om, h, block, tiers=tiers))()
+    cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    M = jax.jit(lambda re, im: sparse_eigen.assemble_bdia(
+        p, grid, cband, (re + 1j * im).astype(cdtype), h, block,
+        tiers=tiers))(jnp.asarray(-0.832, dtype), jnp.asarray(0.257, dtype))
 
-    qn = pic.quasi_neutrality_coef(p, dtype=dtype)
-    s0 = pic.init_state(p, mpc, jax.random.PRNGKey(0), dtype=dtype)
+    # eager complex intermediates are unimplemented on TPU: jit the setup
+    qn = jax.jit(lambda: pic.quasi_neutrality_coef(p, dtype=dtype))()
+    s0 = jax.jit(lambda k: pic.init_state(p, mpc, k, dtype=dtype))(
+        jax.random.PRNGKey(0))
 
-    @jax.jit
+    @partial(jax.jit, static_argnums=2)
     def coupled(M, s, n_steps):
         def body(s, _):
             # eigen-operator apply on the live field (real planes)
