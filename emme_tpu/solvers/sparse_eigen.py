@@ -153,65 +153,89 @@ def assemble_bdia(p, grid: Grid, coeff_band, omega, h: int, block: int,
     eta = grid.eta
     rdtype = eta.dtype
     cw = coeff_band.shape[1] // 2
+    de_max = min((h + 1) * bs - 1, n - 1)
 
-    diag_val = 1.0 + 1.0 / p.tau
+    # ---- stage 1: kernel table over ordered element pairs (i, i+de),
+    # de = 1..de_max, tier-sliced by |i-j| (contiguous groups; same
+    # machinery as the EM path) ----
+    counts = np.array([n - de for de in range(1, de_max + 1)])
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    ia = np.concatenate([np.arange(n - de) for de in range(1, de_max + 1)])
+    ja = np.concatenate([np.arange(de, n) for de in range(1, de_max + 1)])
+    eta_a = eta[ia]
+    eta_b = eta[ja]
 
-    pos = []
+    def make_compute(q):
+        def compute(args):
+            ea, eb = args
+            (vals), _ = kernels.kappa_f_tau(p, ea, eb, omega, ms=(0,),
+                                            quad=q)
+            return (vals[0],)
+        return compute
+
+    if tiers is None:
+        (k0,) = eigen_mod._chunked(make_compute(quad), (eta_a, eta_b),
+                                   len(ia), chunk)
+        k0r = jnp.real(k0).astype(rdtype)
+        k0i = jnp.imag(k0).astype(rdtype)
+    else:
+        cuts = [0]
+        scales = []
+        lo_de = 1
+        for ij_ub, scale in tiers:
+            hi_de = min(de_max, max(lo_de - 1, ij_ub - 1))
+            if hi_de >= lo_de:
+                cuts.append(int(starts[hi_de]))
+                scales.append(scale)
+                lo_de = hi_de + 1
+        if cuts[-1] != len(ia):
+            cuts.append(len(ia))
+            scales.append(tiers[-1][1])
+        subs = []
+        for s0, s1, scale in zip(cuts[:-1], cuts[1:], scales):
+            q_t = kernels.scaled_quad(quad, rdtype, scale)
+            subs.append(eigen_mod._chunked(
+                make_compute(q_t), (eta_a[s0:s1], eta_b[s0:s1]),
+                s1 - s0, chunk))
+        k0r = jnp.concatenate([jnp.real(s[0]).astype(rdtype) for s in subs])
+        k0i = jnp.concatenate([jnp.imag(s[0]).astype(rdtype) for s in subs])
+
+    diag_val = jnp.asarray(1.0 + 1.0 / p.tau, rdtype)
+
+    # ---- stage 2: gather into BDIA blocks ----
+    pos_blocks = []
     for d in range(h + 1):
         nrow = nb - d
         I = np.arange(nrow)
         a = np.arange(bs)
-        b = np.arange(bs)
         i_idx = (I[:, None, None] * bs + a[None, :, None] +
                  np.zeros((1, 1, bs), np.int64)).reshape(-1)
-        j_idx = ((I[:, None, None] + d) * bs + b[None, None, :] +
-                 np.zeros((1, bs, 1), np.int64)).reshape(-1)
-        eta_a = eta[i_idx]
-        eta_b = eta[j_idx]
-        if d == 0:
-            # dummy-shift the true diagonal so the integrand (which divides
-            # by eta - eta') stays finite; overwritten below.
-            eta_b = jnp.where(i_idx == j_idx, eta_a + dx, eta_b)
-        # |i - j| tier: the whole diagonal uses the scale of its NEAREST
-        # pair (conservative; kernels.TIER_TABLE)
-        quad_d = quad
-        if tiers is not None:
-            ij_min = 0 if d == 0 else (d - 1) * bs + 1
-            quad_d = kernels.scaled_quad(quad, rdtype,
-                                         tier_scale_for(ij_min, tiers))
-
-        def compute(args, quad_d=quad_d):
-            ea, eb = args
-            (vals), _ = kernels.kappa_f_tau(p, ea, eb, omega, ms=(0,),
-                                            quad=quad_d)
-            return (vals[0],)
-
-        (k0,) = eigen_mod._chunked(compute, (eta_a, eta_b), len(i_idx), chunk)
-        # the reference assembles the upper triangle and mirrors the WHOLE
-        # entry including its coefficient (solver.h:446-459), so both
-        # triangles read coeff[min(i,j), max(i,j)]
+        j_idx = ((I[:, None, None] + d) * bs + a[None, None, :]
+                 + np.zeros((1, bs, 1), np.int64)).reshape(-1)
+        de = j_idx - i_idx
+        adiff = np.abs(de)
         lo = np.minimum(i_idx, j_idx)
-        dj = np.abs(j_idx - i_idx)
-        cvals = coeff_band[lo, np.minimum(dj, cw) + cw]
-        entries = -k0 * cvals * dx
-        blocks_r = jnp.real(entries).astype(rdtype).reshape(nrow, bs, bs)
-        blocks_i = jnp.imag(entries).astype(rdtype).reshape(nrow, bs, bs)
+        valid = (adiff >= 1) & (adiff <= de_max)
+        pos = np.where(valid, starts[np.maximum(adiff, 1) - 1] + lo, 0)
+        cvals = coeff_band[lo, np.minimum(adiff, cw) + cw]
+        vr = jnp.where(valid, -k0r[pos] * cvals * dx, 0.0)
+        vi = jnp.where(valid, -k0i[pos] * cvals * dx, 0.0)
         if d == 0:
-            eye = jnp.eye(bs, dtype=bool)
-            blocks_r = jnp.where(eye, jnp.asarray(diag_val, rdtype), blocks_r)
-            blocks_i = jnp.where(eye, jnp.asarray(0.0, rdtype), blocks_i)
-        blk = jnp.stack([blocks_r, blocks_i], axis=1)       # (nrow, 2, bs, bs)
+            eye = i_idx == j_idx
+            vr = jnp.where(eye, diag_val, vr)
+            vi = jnp.where(eye, 0.0, vi)
+        blk = jnp.stack([vr.reshape(nrow, bs, bs),
+                         vi.reshape(nrow, bs, bs)], axis=1)
         if d:
             blk = jnp.pad(blk, [(0, d), (0, 0), (0, 0), (0, 0)])
-        pos.append(blk)
+        pos_blocks.append(blk)
 
-    # negative diagonals by symmetry: block(r, r-d) = block(r-d, r)^T
     neg = []
     for d in range(1, h + 1):
-        t = jnp.swapaxes(pos[d][:nb - d], -1, -2)
+        t = jnp.swapaxes(pos_blocks[d][:nb - d], -1, -2)
         neg.append(jnp.pad(t, [(d, 0), (0, 0), (0, 0), (0, 0)]))
 
-    data = jnp.stack(neg[::-1] + pos)
+    data = jnp.stack(neg[::-1] + pos_blocks)
     return BDIAOperator(data=data, offsets=tuple(range(-h, h + 1)),
                         n=n, block=bs)
 
