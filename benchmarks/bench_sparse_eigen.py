@@ -95,11 +95,14 @@ def main(sizes):
             # with n, so the previous size's answer is the best seed
             g = prev_omega if prev_omega is not None else guess
             stats = {}
-            # warm-up at this shape (compile; persistently cached)
-            sparse_eigen.solve(p, g, tol=1e-5, band_deta=BAND_DETA)
+            # warm-up at this shape WITH stats (compiles the solve and the
+            # SpMV-rate chain; persistently cached) -- the timed run then
+            # measures pure solve wall
+            sparse_eigen.solve(p, g, tol=1e-5, band_deta=BAND_DETA,
+                               stats=stats)
             t0 = time.time()
             om, _vec, steps, state = sparse_eigen.solve(
-                p, g, tol=1e-5, band_deta=BAND_DETA, stats=stats)
+                p, g, tol=1e-5, band_deta=BAND_DETA)
             wall = time.time() - t0
             rec = {
                 "omega": [om.real, om.imag], "steps": steps,

@@ -155,77 +155,45 @@ def assemble_bdia(p, grid: Grid, coeff_band, omega, h: int, block: int,
     cw = coeff_band.shape[1] // 2
     de_max = min((h + 1) * bs - 1, n - 1)
 
-    # ---- stage 1: kernel table over ordered element pairs (i, i+de),
-    # de = 1..de_max, tier-sliced by |i-j| (contiguous groups; same
-    # machinery as the EM path) ----
-    counts = np.array([n - de for de in range(1, de_max + 1)])
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    ia = np.concatenate([np.arange(n - de) for de in range(1, de_max + 1)])
-    ja = np.concatenate([np.arange(de, n) for de in range(1, de_max + 1)])
-    eta_a = eta[ia]
-    eta_b = eta[ja]
+    # All index math lives ON DEVICE (broadcasted_iota + gathers): baked
+    # numpy index constants at n = 8192 blow the remote compiler's request
+    # size limit (HTTP 413) -- and iota is free.
 
-    def make_compute(q):
-        def compute(args):
-            ea, eb = args
-            (vals), _ = kernels.kappa_f_tau(p, ea, eb, omega, ms=(0,),
-                                            quad=q)
-            return (vals[0],)
-        return compute
-
-    if tiers is None:
-        (k0,) = eigen_mod._chunked(make_compute(quad), (eta_a, eta_b),
-                                   len(ia), chunk)
-        k0r = jnp.real(k0).astype(rdtype)
-        k0i = jnp.imag(k0).astype(rdtype)
-    else:
-        cuts = [0]
-        scales = []
-        lo_de = 1
-        for ij_ub, scale in tiers:
-            hi_de = min(de_max, max(lo_de - 1, ij_ub - 1))
-            if hi_de >= lo_de:
-                cuts.append(int(starts[hi_de]))
-                scales.append(scale)
-                lo_de = hi_de + 1
-        if cuts[-1] != len(ia):
-            cuts.append(len(ia))
-            scales.append(tiers[-1][1])
-        subs = []
-        for s0, s1, scale in zip(cuts[:-1], cuts[1:], scales):
-            q_t = kernels.scaled_quad(quad, rdtype, scale)
-            subs.append(eigen_mod._chunked(
-                make_compute(q_t), (eta_a[s0:s1], eta_b[s0:s1]),
-                s1 - s0, chunk))
-        k0r = jnp.concatenate([jnp.real(s[0]).astype(rdtype) for s in subs])
-        k0i = jnp.concatenate([jnp.imag(s[0]).astype(rdtype) for s in subs])
+    # ---- stage 1: kernel table T[de - 1, i] = k0(eta_i, eta_{i+de}),
+    # de = 1..de_max, as a PADDED (de_max, n) grid (entries past the edge
+    # clamp to a dummy finite pair and are never gathered in stage 2) ----
+    T_r, T_i = _kernel_table(p, grid, omega, de_max, (0,), quad, chunk,
+                             tiers)
 
     diag_val = jnp.asarray(1.0 + 1.0 / p.tau, rdtype)
+    # zero row 0 so adiff = 0 gathers produce 0 before the diagonal override
+    T_r = jnp.concatenate([jnp.zeros((1, n), rdtype), T_r[0]]).reshape(-1)
+    T_i = jnp.concatenate([jnp.zeros((1, n), rdtype), T_i[0]]).reshape(-1)
+    coeff_flat = coeff_band.reshape(-1)
+    ncol = coeff_band.shape[1]
 
-    # ---- stage 2: gather into BDIA blocks ----
     pos_blocks = []
     for d in range(h + 1):
         nrow = nb - d
-        I = np.arange(nrow)
-        a = np.arange(bs)
-        i_idx = (I[:, None, None] * bs + a[None, :, None] +
-                 np.zeros((1, 1, bs), np.int64)).reshape(-1)
-        j_idx = ((I[:, None, None] + d) * bs + a[None, None, :]
-                 + np.zeros((1, bs, 1), np.int64)).reshape(-1)
+        shp = (nrow, bs, bs)
+        I3 = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+        A3 = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+        B3 = jax.lax.broadcasted_iota(jnp.int32, shp, 2)
+        i_idx = I3 * bs + A3
+        j_idx = (I3 + d) * bs + B3
         de = j_idx - i_idx
-        adiff = np.abs(de)
-        lo = np.minimum(i_idx, j_idx)
-        valid = (adiff >= 1) & (adiff <= de_max)
-        pos = np.where(valid, starts[np.maximum(adiff, 1) - 1] + lo, 0)
-        cvals = coeff_band[lo, np.minimum(adiff, cw) + cw]
-        vr = jnp.where(valid, -k0r[pos] * cvals * dx, 0.0)
-        vi = jnp.where(valid, -k0i[pos] * cvals * dx, 0.0)
+        adiff = jnp.abs(de)
+        lo = jnp.minimum(i_idx, j_idx)
+        pos = adiff * n + lo                      # row adiff of padded T
+        cvals = jnp.take(coeff_flat,
+                         lo * ncol + jnp.minimum(adiff, cw) + cw)
+        vr = -jnp.take(T_r, pos) * cvals * dx
+        vi = -jnp.take(T_i, pos) * cvals * dx
         if d == 0:
             eye = i_idx == j_idx
             vr = jnp.where(eye, diag_val, vr)
             vi = jnp.where(eye, 0.0, vi)
-        blk = jnp.stack([vr.reshape(nrow, bs, bs),
-                         vi.reshape(nrow, bs, bs)], axis=1)
+        blk = jnp.stack([vr, vi], axis=1)
         if d:
             blk = jnp.pad(blk, [(0, d), (0, 0), (0, 0), (0, 0)])
         pos_blocks.append(blk)
@@ -240,6 +208,64 @@ def assemble_bdia(p, grid: Grid, coeff_band, omega, h: int, block: int,
                         n=n, block=bs)
 
 
+def _kernel_table(p, grid, omega, de_max: int, ms, quad, chunk, tiers,
+                  electron: bool = False):
+    """Ordered-pair kernel table over the PADDED (de, i) grid:
+    row de - 1 holds kappa(eta_i, eta_{i + de}) for i = 0..n-1 (entries
+    with i + de >= n evaluate a clamped dummy pair and must not be read).
+    Tier slices are contiguous row ranges.  Returns per-m (re, im) plane
+    lists, each shaped (de_max, n)."""
+    n = grid.npoints
+    eta = grid.eta
+    rdtype = eta.dtype
+    dx = grid.dx
+
+    def rows(lo_de, hi_de, q):
+        nr = hi_de - lo_de + 1
+        DE = jax.lax.broadcasted_iota(jnp.int32, (nr, n), 0) + lo_de
+        I2 = jax.lax.broadcasted_iota(jnp.int32, (nr, n), 1)
+        Jc = jnp.minimum(I2 + DE, n - 1)
+        ea = jnp.broadcast_to(eta, (nr, n)).reshape(-1)
+        eb = jnp.where((I2 + DE <= n - 1), jnp.take(eta, Jc),
+                       jnp.broadcast_to(eta, (nr, n)) + dx).reshape(-1)
+
+        def compute(args):
+            a, b = args
+            vals, _ = kernels.kappa_f_tau(p, a, b, omega, ms=ms, quad=q)
+            if electron:
+                vals = (vals[0],
+                        vals[1] + kernels.kappa_f_tau_e(p, a, b, omega, 1),
+                        vals[2] + kernels.kappa_f_tau_e(p, a, b, omega, 2))
+            return vals
+
+        return eigen_mod._chunked(compute, (ea, eb), nr * n, chunk)
+
+    sections = []
+    if tiers is None:
+        sections.append((1, de_max, quad))
+    else:
+        lo_de = 1
+        for ij_ub, scale in tiers:
+            hi_de = min(de_max, max(lo_de - 1, ij_ub - 1))
+            if hi_de >= lo_de:
+                sections.append(
+                    (lo_de, hi_de, kernels.scaled_quad(quad, rdtype, scale)))
+                lo_de = hi_de + 1
+        if lo_de <= de_max:
+            sections.append(
+                (lo_de, de_max,
+                 kernels.scaled_quad(quad, rdtype, tiers[-1][1])))
+
+    parts = [rows(lo, hi, q) for lo, hi, q in sections]
+    out_r, out_i = [], []
+    for m in range(len(ms)):
+        out_r.append(jnp.concatenate(
+            [jnp.real(pt[m]).astype(rdtype).reshape(-1, n) for pt in parts]))
+        out_i.append(jnp.concatenate(
+            [jnp.imag(pt[m]).astype(rdtype).reshape(-1, n) for pt in parts]))
+    return out_r, out_i
+
+
 def _assemble_bdia_em(p, grid: Grid, coeff_band, omega, h: int, block: int,
                       quad=None, chunk: int = 4096,
                       tiers=None) -> BDIAOperator:
@@ -251,8 +277,9 @@ def _assemble_bdia_em(p, grid: Grid, coeff_band, omega, h: int, block: int,
     structure of an element pair (i, j) into interleaved offsets
     |r - c| <= 2|i - j| + 1, so the |eta - eta'| kernel decay gives one
     contiguous block band.  Entry map (ii = r//2, jj = c//2, s = sign(jj-ii),
-    k_m evaluated once per ordered element pair (min, max) and shared by all
-    four components -- one integrand sweep yields m = 0, 1, 2):
+    kernel table evaluated once per ordered element pair and shared by all
+    four components -- one integrand sweep yields m = 0, 1, 2 and already
+    includes the electron closed forms):
 
         (phi, phi)  -K0 * coeff(min,|d|) * dx      diag: 1 + 1/tau
         (phi, A)     s * K1 * dx                   diag: 0    (U antisym)
@@ -260,10 +287,10 @@ def _assemble_bdia_em(p, grid: Grid, coeff_band, omega, h: int, block: int,
         (A, A)       K2 * dx                       diag: 2 tau/beta_e bi(eta)
 
     (K1 is antisymmetric and K2 symmetric under eta <-> eta', matching the
-    reference's explicit mirroring; K_m here already includes the electron
-    closed forms kappa_f_tau_e.)  The interleaved matrix is globally complex
-    symmetric, so negative block diagonals mirror by transposition exactly
-    like the electrostatic path.
+    reference's explicit mirroring.)  The interleaved matrix is globally
+    complex symmetric, so negative block diagonals mirror by transposition
+    exactly like the electrostatic path.  All index math is device-side
+    iota (no baked index constants -- see assemble_bdia).
     """
     n = grid.npoints
     bs = block
@@ -275,103 +302,50 @@ def _assemble_bdia_em(p, grid: Grid, coeff_band, omega, h: int, block: int,
     cw = coeff_band.shape[1] // 2
     de_max = em_de_max(n, h, bs)
 
-    # ---- stage 1: kernel table over ordered element pairs (i, i+de) ----
-    counts = np.array([n - de for de in range(1, de_max + 1)])
-    starts = np.concatenate([[0], np.cumsum(counts)])  # starts[de-1]
-    ia = np.concatenate([np.arange(n - de) for de in range(1, de_max + 1)])
-    ja = np.concatenate([np.arange(de, n) for de in range(1, de_max + 1)])
-    eta_a = eta[ia]
-    eta_b = eta[ja]
+    Tr, Ti = _kernel_table(p, grid, omega, de_max, (0, 1, 2), quad, chunk,
+                           tiers, electron=True)
+    zrow = jnp.zeros((1, n), rdtype)
+    T0r, T1r, T2r = (jnp.concatenate([zrow, t]).reshape(-1) for t in Tr)
+    T0i, T1i, T2i = (jnp.concatenate([zrow, t]).reshape(-1) for t in Ti)
 
-    def make_compute(q):
-        def compute(args):
-            ea, eb = args
-            vals, _ = kernels.kappa_f_tau(p, ea, eb, omega, ms=(0, 1, 2),
-                                          quad=q)
-            return vals
-        return compute
-
-    if tiers is None:
-        k0, k1, k2 = eigen_mod._chunked(make_compute(quad),
-                                        (eta_a, eta_b), len(ia), chunk)
-    else:
-        # the flat pair list is ordered by de, so |i-j| tiers are contiguous
-        # slices: evaluate each with its scaled mesh and concatenate planes
-        # in order (no permutation needed)
-        cuts = [0]
-        scales = []
-        lo_de = 1
-        for ij_ub, scale in tiers:
-            hi_de = min(de_max, max(lo_de - 1, ij_ub - 1))
-            if hi_de >= lo_de:
-                cuts.append(int(starts[hi_de]))
-                scales.append(scale)
-                lo_de = hi_de + 1
-        if cuts[-1] != len(ia):
-            cuts.append(len(ia))
-            scales.append(tiers[-1][1])
-        subs = []
-        for s0, s1, scale in zip(cuts[:-1], cuts[1:], scales):
-            q_t = kernels.scaled_quad(quad, rdtype, scale)
-            subs.append(eigen_mod._chunked(
-                make_compute(q_t), (eta_a[s0:s1], eta_b[s0:s1]),
-                s1 - s0, chunk))
-        k0, k1, k2 = (
-            (jnp.concatenate([jnp.real(s[m]).astype(rdtype) for s in subs])
-             + 1j * jnp.concatenate([jnp.imag(s[m]).astype(rdtype)
-                                     for s in subs]))
-            for m in range(3))
-    k1 = k1 + kernels.kappa_f_tau_e(p, eta_a, eta_b, omega, 1)
-    k2 = k2 + kernels.kappa_f_tau_e(p, eta_a, eta_b, omega, 2)
-    # (re, im) planes: TPU gathers are real-only (complex dtypes are
-    # elementwise-compute-only on this backend)
-    planes = [jnp.real(k0).astype(rdtype), jnp.imag(k0).astype(rdtype),
-              jnp.real(k1).astype(rdtype), jnp.imag(k1).astype(rdtype),
-              jnp.real(k2).astype(rdtype), jnp.imag(k2).astype(rdtype)]
-
+    coeff_flat = coeff_band.reshape(-1)
+    ncol = coeff_band.shape[1]
     diag_phi = jnp.asarray(1.0 + 1.0 / p.tau, rdtype)
     diag_A = ((2.0 * p.tau) / p.beta_e * p.bi(eta)).astype(rdtype)  # (n,)
 
-    # ---- stage 2: gather into interleaved BDIA blocks ----
     pos_blocks = []
     for d in range(h + 1):
         nrow = nb - d
-        I = np.arange(nrow)
-        a = np.arange(bs)
-        z = np.zeros((1, 1, bs), np.int64)
-        r_idx = (I[:, None, None] * bs + a[None, :, None] + z).reshape(-1)
-        c_idx = ((I[:, None, None] + d) * bs + a[None, None, :]
-                 + np.zeros((1, bs, 1), np.int64)).reshape(-1)
+        shp = (nrow, bs, bs)
+        I3 = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+        A3 = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+        B3 = jax.lax.broadcasted_iota(jnp.int32, shp, 2)
+        r_idx = I3 * bs + A3
+        c_idx = (I3 + d) * bs + B3
         ii = r_idx // 2
         jj = c_idx // 2
         de = jj - ii
-        adiff = np.abs(de)
-        lo = np.minimum(ii, jj)
-        valid = (adiff >= 1) & (adiff <= de_max)
-        pos = np.where(valid, starts[np.maximum(adiff, 1) - 1] + lo, 0)
-        sgn = np.sign(de).astype(np.float64)
-
-        g0r, g0i, g1r, g1i, g2r, g2i = (pl[pos] for pl in planes)
-        cvals = coeff_band[lo, np.minimum(adiff, cw) + cw]
-
+        adiff = jnp.abs(de)
+        lo = jnp.minimum(ii, jj)
+        pos = adiff * n + lo
+        sgn = jnp.sign(de).astype(rdtype)
+        usign = jnp.where(r_idx % 2 == 0, sgn, -sgn)
+        cvals = jnp.take(coeff_flat,
+                         lo * ncol + jnp.minimum(adiff, cw) + cw)
         phiphi = (r_idx % 2 == 0) & (c_idx % 2 == 0)
         AA = (r_idx % 2 == 1) & (c_idx % 2 == 1)
-        # (phi,A): +s, (A,phi): -s; diagonal U entries get s = 0 via valid
-        usign = jnp.asarray(np.where(r_idx % 2 == 0, sgn, -sgn), rdtype)
-
-        vr = jnp.where(phiphi, -g0r * cvals,
-                       jnp.where(AA, g2r, usign * g1r)) * dx
-        vi = jnp.where(phiphi, -g0i * cvals,
-                       jnp.where(AA, g2i, usign * g1i)) * dx
-        vr = jnp.where(valid, vr, 0.0)
-        vi = jnp.where(valid, vi, 0.0)
+        vr = jnp.where(phiphi, -jnp.take(T0r, pos) * cvals,
+                       jnp.where(AA, jnp.take(T2r, pos),
+                                 usign * jnp.take(T1r, pos))) * dx
+        vi = jnp.where(phiphi, -jnp.take(T0i, pos) * cvals,
+                       jnp.where(AA, jnp.take(T2i, pos),
+                                 usign * jnp.take(T1i, pos))) * dx
         if d == 0:
             eye = r_idx == c_idx
-            dvals = jnp.where(r_idx % 2 == 0, diag_phi, diag_A[ii])
+            dvals = jnp.where(r_idx % 2 == 0, diag_phi, jnp.take(diag_A, ii))
             vr = jnp.where(eye, dvals, vr)
             vi = jnp.where(eye, 0.0, vi)
-        blk = jnp.stack([vr.reshape(nrow, bs, bs),
-                         vi.reshape(nrow, bs, bs)], axis=1)
+        blk = jnp.stack([vr, vi], axis=1)
         if d:
             blk = jnp.pad(blk, [(0, d), (0, 0), (0, 0), (0, 0)])
         pos_blocks.append(blk)
@@ -602,6 +576,15 @@ def solve_shifts(p, sigmas, tol: float | None = None, m_krylov: int = 16,
         return list(ex.map(one, items))
 
 
+@jax.jit
+def _nullspace_jit(M: BDIAOperator):
+    """Banded LU + inverse-iteration nullspace as ONE compiled program
+    (eager scans cost seconds of per-primitive dispatch on the tunnel
+    runtime)."""
+    lu = banded.banded_lu(M)
+    return _null_vector(lu, M.n, M.data.dtype, iters=3)
+
+
 _JIT_CACHE: dict = {}
 _ASSEMBLE_BDIA_JIT: dict = {}
 
@@ -744,8 +727,7 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
             v = deinterleave(v)
         return omega, v, n_steps + extra, state
 
-    lu = banded.banded_lu(state.M)
-    vr, vi = _null_vector(lu, state.M.n, state.M.data.dtype, iters=3)
+    vr, vi = _nullspace_jit(state.M)
     vec = np.asarray(vr) + 1j * np.asarray(vi)
     if p.electromagnetic:
         vec = deinterleave(vec)
