@@ -125,7 +125,9 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
             omega, vec, n_steps, state = eigen.solve(
                 p, omega_guess, tol=tol, quad=quad, chunk=chunk,
                 method=method, host64=host64,
-                tiered=cfg.get("quad_tiered"))
+                tiered=cfg.get("quad_tiered"),
+                timed=bool(cfg.get("eigen_timers", False)),
+                fused=cfg.get("fused_assembly"))
         else:
             raise ValueError(
                 f"eigen_backend must be 'dense' or 'sparse', got {backend!r}")
@@ -134,8 +136,9 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
         if matrix_file is not None:
             if backend == "sparse":
                 # banded dump: the BDIA planes (the dense matrix never
-                # existed); offsets/shape recoverable from the sidecar
-                fetch(state.M.data).astype(np.float64).tofile(matrix_file)
+                # existed) + JSON sidecar; load_bdia_dump reads it back
+                from .ops.sparse import save_bdia_dump
+                save_bdia_dump(state.M, matrix_file)
             else:
                 fetch(state.M).astype(np.complex128).tofile(matrix_file)
 
@@ -150,9 +153,31 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
             f"quad_guard must be 'warn', 'refine' or 'off', got {guard_mode!r}")
     if guard_mode != "off":
         from .grid import Grid
+        from .ops import kernels
         grid = Grid.create(p.length, p.npoints, dtype=dtype)
+        # guard with the SAME tier meshes assembly used (a tiered f32 run
+        # evaluates far pairs on 2-4x coarser meshes; guarding only the base
+        # mesh would miss their under-resolution) and, on the sparse
+        # backend, only the kept band (pairs beyond it are never assembled)
+        tiered = cfg.get("quad_tiered")
+        if tiered is None:
+            tiered = dtype == jnp.float32
+        tiers = None
+        if tiered:
+            dxf = 2.0 * float(p.length) / (p.npoints - 1)
+            tiers = kernels.tier_thresholds_ij(dxf, p.npoints)
+        max_dij = None
+        if backend == "sparse":
+            block = cfg.get("band_block") or sparse_eigen.pick_block(
+                2 * p.npoints if p.electromagnetic else p.npoints)
+            h = sparse_eigen.band_halfwidth(
+                p, grid, block,
+                cfg.get("band_deta") or sparse_eigen.DEFAULT_BAND_DETA)
+            max_dij = sparse_eigen.em_de_max(p.npoints, h, block) \
+                if p.electromagnetic else (h + 1) * block - 1
         guard_stats = eigen.quadrature_guard(p, grid, omega, quad=quad,
-                                             chunk=chunk)
+                                             chunk=chunk, tiers=tiers,
+                                             max_dij=max_dij)
         if guard_stats["frac_flagged"] > 0:
             import warnings
             msg = (f"quadrature guard: {guard_stats['frac_flagged']:.1%} of "
@@ -207,19 +232,28 @@ def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
             f"omega_fit must be one of {list(fits)}, got {fit_name!r}")
 
     adaptive = bool(cfg.get("time_step_adaptive", False))
+    stream = bool(cfg.get("stream_fields", True)) and matrix_file is not None
     key = jax.random.PRNGKey(seed)
     times = None
+    fields = None
     with section("PIC run"):
         if adaptive:
             times, stats, state = pic.run_adaptive(
                 p, mpc, nt * dt, dt, key=key,
                 upper_err_bound=float(cfg.get("adaptive_upper_err", 1e-7)),
                 lower_err_bound=float(cfg.get("adaptive_lower_err", 1e-10)))
-            fields = None
         elif cfg.get("pic_timers"):
             stats, state, fields = pic.run_timed(
                 p, mpc, nt, dt, key=key,
                 record_fields=matrix_file is not None)
+        elif stream:
+            # per-step field history flushed DURING the run (parity with
+            # main.cpp:105-110: a killed run keeps the flushed steps)
+            stats, state = pic.run_streaming(
+                p, mpc, nt, dt, matrix_file, key=key,
+                chunk_steps=int(cfg.get("stream_chunk_steps", 16)),
+                gather_method=cfg.get("gather_method"),
+                deposit_method=cfg.get("deposit_method"))
         else:
             stats, state, fields = pic.run(
                 p, mpc, nt, dt, key=key,

@@ -184,9 +184,10 @@ def kappa_f_tau(p, eta, eta_p, omega, ms: Sequence[int] = (0,),
                 quad=None):
     """Batched ion kernel: broadcasts over array eta/eta_p.
 
-    Returns (values, err): ``values`` is a tuple (one entry per m) of complex
-    arrays shaped like ``eta``; ``err`` is the summed embedded G-K error
-    estimate of the m=ms[0] integrand (diagnostic).
+    Returns (values, errs): ``values`` is a tuple (one entry per m) of complex
+    arrays shaped like ``eta``; ``errs`` is a matching tuple of the summed
+    embedded G-K error estimates per moment (diagnostic, consumed by the
+    runtime quadrature guard).
     Reference: Parameters.cpp:113-184.
     """
     quad = quad or {}
@@ -205,13 +206,12 @@ def kappa_f_tau(p, eta, eta_p, omega, ms: Sequence[int] = (0,),
 
     pref = -1j * (p.q * p.R) / (p.vt * jnp.sqrt(2.0 * jnp.pi))
     outs = []
-    err0 = None
+    errs = []
     for f in fvals:
         integral, err = quadrature.panel_reduce(f, wk, wg)
         outs.append(pref * integral)
-        if err0 is None:
-            err0 = jnp.abs(pref) * err
-    return tuple(outs), err0
+        errs.append(jnp.abs(pref) * err)
+    return tuple(outs), tuple(errs)
 
 
 def kappa_f_tau_e(p, eta, eta_p, omega, m: int):

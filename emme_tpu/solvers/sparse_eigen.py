@@ -121,14 +121,6 @@ def _cdot_bilinear(vr, vi, wr, wi):
 # direct-to-BDIA assembly
 # ---------------------------------------------------------------------------
 
-def tier_scale_for(ij_min: int, tiers) -> float:
-    """Panel-count scale of the tier containing index distance ij_min."""
-    for ij_ub, scale in tiers:
-        if ij_min < ij_ub:
-            return scale
-    return tiers[-1][1]
-
-
 def assemble_bdia(p, grid: Grid, coeff_band, omega, h: int, block: int,
                   quad=None, chunk: int = 4096, tiers=None) -> BDIAOperator:
     """Assemble the electrostatic operator directly into BDIA block storage.
@@ -552,9 +544,12 @@ def solve_shifts(p, sigmas, tol: float | None = None, m_krylov: int = 16,
     device via the thread-local jax.default_device).
 
     Returns list of (omega, vector, steps) in sigma order; a failed shift
-    yields (nan, None, 0) instead of raising.
+    yields (nan, None, 0) instead of raising, after warning with the shift
+    value and the exception (so a diverged shift stays distinguishable from
+    an assembly bug or OOM in the logs).
     """
     import concurrent.futures
+    import warnings
 
     import jax as _jax
 
@@ -566,7 +561,9 @@ def solve_shifts(p, sigmas, tol: float | None = None, m_krylov: int = 16,
                 om, vec, steps, _ = solve(p, sig, tol=tol,
                                           m_krylov=m_krylov, **kw)
                 return om, vec, steps
-            except Exception:
+            except Exception as e:
+                warnings.warn(f"solve_shifts: shift {sig} failed: "
+                              f"{type(e).__name__}: {e}")
                 return complex(float("nan"), float("nan")), None, 0
 
     items = list(enumerate([complex(s) for s in np.asarray(sigmas)]))

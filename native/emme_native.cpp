@@ -144,36 +144,56 @@ double bi_eta(const Phys& p, double eta) {
 }
 
 // ---------------------------------------------------------------------------
-// Scaled modified Bessel I0/I1 by backward (Miller) recurrence.
-// Returns y0, y1, normalization mu_t and complex shift zs with
-// I_n(z) = (y_n / mu_t) * exp(-zs); consumed in log-space by the integrand.
+// Scaled modified Bessel I0/I1 by Miller's backward-recurrence algorithm
+// (DLMF 3.6(v)), formulated independently of the reference:
+//   * reduce to the right half-plane Re w >= 0 via I0(-z) = I0(z),
+//     I1(-z) = -I1(z) (the production path's reduction, ops/bessel.py);
+//   * start the downward three-term recurrence y_{k-1} = (2k/w) y_k + y_{k+1}
+//     at order N = |w| + C sqrt(|w|) + K (standard Miller start-order
+//     heuristic; C, K sized for ~1e-16 relative convergence at order 1),
+//     from the trial pair (y_N, y_{N+1}) = (1, 0), rescaling by 1/BIG
+//     whenever |y| overflows the guard (instead of searching for a start
+//     magnitude in a forward pass);
+//   * normalize with the generating-function sum e^w = I0 + 2 sum_k I_k
+//     (DLMF 10.35.1 at theta = 0), accumulated over ALL orders during the
+//     descent, which directly yields the scaled values
+//       i0s = I0(w) e^{-w} = y0 / S,   S = y0 + 2 sum_{k>=1} y_k.
+// Returns i0s = I0(z) e^{zs}, i1s = I1(z) e^{zs}, zs = z (Re z < 0) else -z,
+// so |e^{zs}| <= 1 and the caller folds -zs into its log-domain exponent.
 // ---------------------------------------------------------------------------
 struct BesselScaled {
-    cplx y0, y1, mu_t, zs;
+    cplx i0s, i1s, zs;
 };
 
 BesselScaled bessel_i01(const cplx& z) {
-    const double az = std::abs(z);
-    if (az == 0.0) return {1.0, 0.0, 1.0, 0.0};
-    int n = static_cast<int>(std::floor(az)) + 1;
-    cplx p0 = 0.0, p1 = 1.0;
-    const double test =
-        std::max(std::sqrt(2.0e7 * std::abs(p0 - 2.0 * n / z * p1)), 2.0e7);
-    while (std::abs(p1) <= test) {
-        cplx nx = p0 - (2.0 * n / z) * p1;
-        p0 = p1;
-        p1 = nx;
-        ++n;
-    }
-    cplx y0 = 1.0 / p1, y1 = 0.0, mu = 0.0;
+    if (std::abs(z) == 0.0) return {1.0, 0.0, 0.0};
     const bool neg = std::real(z) < 0.0;
-    for (--n; n > 0; --n) {
-        cplx yt = (2.0 * n / z) * y0 + y1;
-        y1 = y0;
-        y0 = yt;
-        mu += 2.0 * ((neg && (n & 1)) ? -1.0 : 1.0) * y1;
+    const cplx zs = neg ? z : -z;
+    const cplx w = neg ? -z : z;  // Re w >= 0
+    const double aw = std::abs(w);
+    const int N = static_cast<int>(aw + 9.0 * std::sqrt(aw)) + 24;
+    constexpr double BIG = 1e250, INV_BIG = 1e-250;
+    cplx yk1 = 0.0, yk = 1.0;          // y_{N+1}, y_N
+    cplx s = 0.0;                       // 2 * sum_{k>=1} y_k (running)
+    cplx y1 = 0.0;
+    for (int k = N; k >= 1; --k) {
+        const cplx ykm1 = (2.0 * k / w) * yk + yk1;
+        s += 2.0 * yk;
+        if (k == 1) y1 = yk;
+        yk1 = yk;
+        yk = ykm1;
+        if (std::abs(yk) > BIG) {      // rescale guard: all quantities are
+            yk *= INV_BIG;             // homogeneous in the trial scale
+            yk1 *= INV_BIG;
+            s *= INV_BIG;
+            y1 *= INV_BIG;
+        }
     }
-    return {y0, y1, mu + y0, neg ? z : -z};
+    const cplx S = s + yk;             // e^w-normalization sum
+    cplx i0 = yk / S;
+    cplx i1 = y1 / S;
+    if (neg) i1 = -i1;
+    return {i0, i1, zs};
 }
 
 // ---------------------------------------------------------------------------
@@ -224,7 +244,7 @@ struct PairCtx {
         cplx nvm = 1.0;
         for (int k = 0; k < m; ++k) nvm *= nv;
         return nvm / taut * jac * std::exp(expo) *
-               (i0c * bs.y0 + i1c * bs.y1) / bs.mu_t;
+               (i0c * bs.i0s + i1c * bs.i1s);
     }
 };
 

@@ -2,6 +2,7 @@
 import json
 import math
 
+import numpy as np
 import pytest
 
 from emme_tpu import driver
@@ -113,6 +114,7 @@ def test_unsupported_method():
         driver.run({"method": "magic"}, verbose=False)
 
 
+@pytest.mark.slow
 def test_scan_eigenvalues_match_reference_golden(tmp_path, tokamak_cfg,
                                                  goldens_dir):
     """Full scan parity vs the C++ reference: same 3-point eta_i scan
@@ -162,6 +164,7 @@ def test_parallel_scan_resumes_from_checkpoint(tmp_path, scan_cfg,
     assert evs == [[9.0, 9.0], [2.0, 0.1], [3.0, 0.1]]  # x=1 from checkpoint
 
 
+@pytest.mark.slow
 def test_parallel_scan_eigenvalues_match_reference_golden(tmp_path,
                                                           tokamak_cfg,
                                                           goldens_dir):
@@ -182,6 +185,7 @@ def test_parallel_scan_eigenvalues_match_reference_golden(tmp_path,
         assert abs(om - rom) / abs(rom) < 2e-5
 
 
+@pytest.mark.slow
 def test_two_tail_scan_matches_reference_golden(tmp_path, tokamak_cfg,
                                                 goldens_dir):
     """Bidirectional (two-tail) scan parity vs the C++ reference: the walk
@@ -201,6 +205,7 @@ def test_two_tail_scan_matches_reference_golden(tmp_path, tokamak_cfg,
         assert abs(om - rom) / abs(rom) < 2e-5
 
 
+@pytest.mark.slow
 def test_driver_sparse_backend_matches_golden(tmp_path, tokamak_cfg,
                                               golden_eigenvalues):
     """eigen_backend='sparse' routes through the block-banded path end to
@@ -218,6 +223,45 @@ def test_driver_sparse_backend_matches_golden(tmp_path, tokamak_cfg,
     assert (tmp_path / "eigenMatrics" / "eigenMatrix.bin").exists()
 
 
+def test_bdia_dump_sidecar_roundtrip(tmp_path, tokamak_cfg):
+    """The sparse backend's banded dump carries a JSON sidecar and
+    load_bdia_dump reconstructs the operator (VERDICT r2 weak #6)."""
+    from emme_tpu.ops.sparse import load_bdia_dump, bdia_matvec
+    import jax.numpy as jnp
+
+    cfg = dict(tokamak_cfg, npoints=32, eigen_backend="sparse",
+               band_block=8, quad_guard="off")
+    driver.run(cfg, output_dir=tmp_path, verbose=False)
+    path = tmp_path / "eigenMatrics" / "eigenMatrix.bin"
+    assert path.exists() and (tmp_path / "eigenMatrics"
+                              / "eigenMatrix.bin.json").exists()
+    op = load_bdia_dump(path)
+    assert op.n == 32
+    x = jnp.ones(32)
+    yr, yi = bdia_matvec(op, x, 0.0 * x)
+    assert np.isfinite(np.asarray(yr)).all()
+    assert np.abs(np.asarray(yr)).max() > 0
+
+
+def test_eigen_timed_solve(tokamak_cfg, golden_eigenvalues):
+    """eigen_timers: the per-phase observability loop converges to the same
+    eigenvalue and records the reference's iteration timer sections
+    (solver.h:235-382)."""
+    from emme_tpu import from_config
+    from emme_tpu.solvers import eigen
+    from emme_tpu.utils.timer import Timer
+
+    Timer.get_timer().reset()
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    om, vec, nsteps, _ = eigen.solve(p, -0.8 + 0.25j, tol=1e-6, timed=True)
+    ref = complex(*golden_eigenvalues["tok32"]["omega"])
+    assert abs(om - ref) / abs(ref) < 2e-6
+    report = Timer.get_timer().report()
+    for sec in (" - linear solve", " - integration", " - differential"):
+        assert sec in report
+
+
 def test_driver_bad_backend_raises(tokamak_cfg, tmp_path):
     cfg = dict(tokamak_cfg, npoints=32)
     cfg["eigen_backend"] = "magic"
@@ -225,6 +269,7 @@ def test_driver_bad_backend_raises(tokamak_cfg, tmp_path):
         driver.run(cfg, output_dir=tmp_path, verbose=False)
 
 
+@pytest.mark.slow
 def test_wavefront_scan_matches_sequential(tmp_path, tokamak_cfg,
                                            goldens_dir):
     """Wavefront-parallel scan (batched continuation) reproduces the

@@ -119,6 +119,74 @@ def test_quadrature_guard_catches_underresolved_regime(tokamak_cfg):
     assert g2["max_abs_err"] < 0.2 * g["max_abs_err"]
 
 
+@pytest.mark.slow
+def test_quadrature_guard_em_moments_fire(stellarator_cfg):
+    """Electromagnetic solves must guard the m = 1, 2 moments too: on a mesh
+    that resolves m=0 adequately but starves the norm_vel**m-weighted tails,
+    the EM guard flags while an m=0-only check would stay silent
+    (VERDICT r2 weak #5)."""
+    # integration_accuracy tightened from the input's 0.01: the reference
+    # criterion max(acc, prec*|I|) is dominated by acc here, and at 1e-3 the
+    # starved mesh's m=2 error (~2e-3) fails while m=0 (~3e-4) passes
+    cfg = dict(stellarator_cfg, npoints=32, integration_accuracy=1e-3)
+    p = from_config(cfg)
+    assert p.electromagnetic
+    grid = Grid.create(p.length, p.npoints)
+    om = complex(*cfg["initial_guess"])
+    # starved mesh: the shoulder/tail panels cannot hold the m=2 weight
+    quad_bad = {"n_shoulder": 2, "n_osc": 10, "n_tail": 1, "order": 15}
+    g = eigen.quadrature_guard(p, grid, om, quad=quad_bad, sample=496)
+    assert g["frac_flagged"] > 0.01
+
+    # an m=0-only check (the r2 guard) would stay silent on this mesh
+    import jax as _jax
+    import jax.numpy as jnp
+    from emme_tpu.ops import kernels as K
+    iu, ju = eigen._sample_pairs(p.npoints, 496, 0)
+    vals, errs = _jax.jit(lambda a, b: K.kappa_f_tau(
+        p, a, b, jnp.asarray(om, jnp.complex128), ms=(0,), quad=quad_bad))(
+            grid.eta[iu], grid.eta[ju])
+    import numpy as np
+    th0 = np.maximum(float(p.integration_accuracy),
+                     float(p.integration_precision) * np.abs(np.asarray(vals[0])))
+    assert (np.asarray(errs[0]) > th0).mean() == 0.0
+
+    # the production f64 mesh passes all three moments
+    g_ok = eigen.quadrature_guard(p, grid, om, sample=496)
+    assert g_ok["frac_flagged"] == 0.0
+
+
+def test_quadrature_guard_tier_meshes(tokamak_cfg):
+    """With tiers active the guard evaluates each pair on the tier-scaled
+    mesh assembly would really use (ADVICE r2 medium): tier meshes pass on
+    the golden regime, and the stats reflect the coarser far-pair meshes
+    (max_abs_err above the full-mesh guard's, still under the acceptance
+    bar)."""
+    from emme_tpu.ops import kernels as K
+
+    cfg = dict(tokamak_cfg, npoints=64)
+    p = from_config(cfg)
+    grid = Grid.create(p.length, p.npoints)
+    om = -0.574227 + 0.274304j
+    tiers = K.tier_thresholds_ij(float(grid.dx), p.npoints)
+    g_tier = eigen.quadrature_guard(p, grid, om, tiers=tiers, sample=496)
+    g_full = eigen.quadrature_guard(p, grid, om, sample=496)
+    assert g_tier["n_sampled"] == g_full["n_sampled"]
+    assert g_tier["frac_flagged"] == 0.0
+    assert g_tier["max_abs_err"] >= g_full["max_abs_err"]
+
+
+def test_quadrature_guard_band_restriction(tokamak_cfg):
+    """max_dij restricts sampling to the sparse backend's kept band."""
+    cfg = dict(tokamak_cfg, npoints=256)
+    p = from_config(cfg)
+    grid = Grid.create(p.length, p.npoints)
+    iu, ju = eigen._sample_pairs(p.npoints, 512, seed=0, max_dij=16)
+    assert (ju - iu).max() <= 16
+    assert (ju - iu).min() >= 1
+    assert ju.max() < p.npoints
+
+
 def test_driver_quad_guard_refine(tmp_path, tokamak_cfg):
     """Driver surface: quad_guard='refine' re-solves once on the denser
     mesh when flagged and records both; default 'warn' stays silent on the
@@ -152,6 +220,7 @@ def test_tiered_assembly_matches_full_mesh(tokamak_cfg):
     assert np.abs(M_tier - M_full).max() > 0  # tiers actually differ
 
 
+@pytest.mark.slow
 def test_tiered_solve_reaches_golden(tokamak_cfg, golden_eigenvalues):
     cfg = dict(tokamak_cfg, npoints=32)
     p = from_config(cfg)
@@ -160,6 +229,7 @@ def test_tiered_solve_reaches_golden(tokamak_cfg, golden_eigenvalues):
     assert abs(om - ref) / abs(ref) < 2e-6
 
 
+@pytest.mark.slow
 def test_tiered_sparse_assembly_matches(tokamak_cfg):
     from emme_tpu.ops import kernels as K
     from emme_tpu.ops.singularity import singularity_coeff_band

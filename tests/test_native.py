@@ -24,11 +24,21 @@ def test_native_geometry_matches_reference(goldens_dir, tok):
     assert np.abs(bi - np.array(gold["bi"])).max() < 1e-14
 
 
-def test_native_kappa_bit_matches_reference(goldens_dir, tok):
-    """The native adaptive G-K engine reproduces the reference's own
-    quadrature decisions: agreement at roundoff level, NOT just tolerance."""
+def test_native_kappa_matches_reference(goldens_dir, tok):
+    """The native adaptive G-K engine reproduces the reference's kernel
+    integrals far inside the reference's own acceptance criterion
+    (max(1e-6, 1e-6|I|), functions.h:237-247).
+
+    NOT bit-exact: round 2's roundoff-level agreement relied on a
+    transliterated Bessel helper; with the independently-formulated Miller
+    (VERDICT r3 item 6; last-bit-different values), marginal subdivision
+    accept/reject decisions flip, moving results by the flipped panel's
+    embedded error -- observed <= 2e-8 relative, median ~1e-10, which is
+    the honest reproducibility of the reference's own algorithm under
+    last-bit integrand perturbation."""
     gold = json.load(open(goldens_dir / "micro_tokamak.json"))
     cases = gold["kappa_cases"]
+    rels = []
     for om in {tuple(c["omega"]) for c in cases}:
         sel = [c for c in cases if tuple(c["omega"]) == om]
         m = np.array([c["m"] for c in sel])
@@ -36,8 +46,10 @@ def test_native_kappa_bit_matches_reference(goldens_dir, tok):
         etap = np.array([c["etap"] for c in sel])
         ref = np.array([complex(*c["kappa_i"]) for c in sel])
         mine = native.kappa_batch(tok, m, eta, etap, complex(*om))
-        rel = np.abs(mine - ref) / (np.abs(ref) + 1e-30)
-        assert rel.max() < 1e-12
+        rels.append(np.abs(mine - ref) / (np.abs(ref) + 1e-30))
+    rels = np.concatenate(rels)
+    assert rels.max() < 1e-7
+    assert np.median(rels) < 1e-9
 
 
 def test_native_assembly_matches_reference_matrix(goldens_dir, tokamak_cfg):
@@ -47,7 +59,11 @@ def test_native_assembly_matches_reference_matrix(goldens_dir, tokamak_cfg):
     M = native.assemble(p, coeff, complex(-0.8, 0.25))
     ref = np.fromfile(goldens_dir / "matrix_tok32_guess.bin",
                       dtype=np.complex128).reshape(32, 32)
-    assert np.abs(M - ref).max() < 1e-12
+    # <= ~1e-9 abs: last-bit Bessel differences flip marginal subdivision
+    # decisions (see test_native_kappa_matches_reference); entries are O(1)
+    # and the reference's own acceptance is 1e-6
+    assert np.abs(M - ref).max() < 5e-9
+    assert np.median(np.abs(M - ref)) < 1e-11
 
 
 def test_native_em_assembly_matches_reference(goldens_dir, stellarator_cfg):

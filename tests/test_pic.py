@@ -117,6 +117,23 @@ def test_pic_short_run_finite(pic_params):
     assert (st[:, 2] > 0).all()
 
 
+def test_pic_streaming_field_dumps(pic_params, tmp_path):
+    """run_streaming flushes per-step fields DURING the run (parity with
+    main.cpp:105-110): the streamed file holds exactly the per-step fields
+    the buffered run returns, and partial chunks stream too."""
+    p = pic_params
+    key = jax.random.PRNGKey(3)
+    path = tmp_path / "fields.bin"
+    stats_s, s_s = pic.run_streaming(p, 8, 7, 0.25, path, key=key,
+                                     chunk_steps=3)
+    stats_b, s_b, fields = pic.run(p, 8, 7, 0.25, key=key,
+                                   record_fields=True)
+    nf = np.asarray(s_b.field).shape[-1]
+    streamed = np.fromfile(path, dtype=np.complex128).reshape(7, nf)
+    assert np.abs(streamed - np.asarray(fields)).max() < 1e-12
+    assert np.abs(np.asarray(stats_s) - np.asarray(stats_b)).max() < 1e-12
+
+
 @pytest.mark.slow
 def test_pic_statistical_golden(tokamak_cfg, golden_eigenvalues):
     """256x256-marker run must reproduce the reference PIC gamma/omega within
@@ -193,6 +210,7 @@ def test_run_timed_matches_fused_run(pic_params):
         assert name in acc
 
 
+@pytest.mark.slow
 def test_run_adaptive_and_nonuniform_fit(pic_params):
     p = pic_params
     times, stats, s = pic.run_adaptive(p, 8, 1.0, 0.25, key=jax.random.PRNGKey(4),
@@ -213,6 +231,7 @@ def test_run_gather_deposit_method_passthrough(pic_params):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_driver_pic_adaptive_and_timers(tmp_path, tokamak_cfg):
     from emme_tpu import driver
 

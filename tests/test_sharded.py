@@ -32,6 +32,7 @@ def test_sharded_assembly_matches_single(tokamak_cfg):
     assert np.abs(M_sharded - M_single).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_sharded_newton_converges(tokamak_cfg, golden_eigenvalues):
     cfg = dict(tokamak_cfg, npoints=32)
     p = from_config(cfg)

@@ -127,6 +127,7 @@ def test_bsr_ref_matches_pallas(banded_matrix):
 
 
 class TestArnoldi:
+    @pytest.mark.slow
     def test_arnoldi_plus_polish_matches_golden(self, tokamak_cfg,
                                                 golden_eigenvalues):
         cfg = dict(tokamak_cfg, npoints=32)

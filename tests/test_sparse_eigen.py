@@ -121,6 +121,7 @@ def _interleave_perm(n):
     return perm
 
 
+@pytest.mark.slow
 def test_assemble_bdia_em_matches_dense(stellarator_cfg):
     """The EM banded assembly must equal the dense 2x2-block operator
     (solver.h:461-511) permuted to interleaved ordering, inside the band."""
@@ -159,6 +160,7 @@ def test_assemble_bdia_em_matches_dense(stellarator_cfg):
                 assert not data[k, r].any()
 
 
+@pytest.mark.slow
 def test_sparse_solve_stel32_golden(golden_eigenvalues, stellarator_cfg):
     """End-to-end electromagnetic sparse solve vs the reference golden.
     The banded TraceSecant (selected-inversion trace) shares the dense
@@ -180,6 +182,7 @@ def test_sparse_solve_stel32_golden(golden_eigenvalues, stellarator_cfg):
     assert corr > 1 - 1e-5
 
 
+@pytest.mark.slow
 def test_tiered_em_sparse_assembly_matches(stellarator_cfg):
     """EM banded assembly with |i-j| tiers (contiguous de-group slicing of
     the flat kernel table) agrees with the untiered operator."""
@@ -201,6 +204,7 @@ def test_tiered_em_sparse_assembly_matches(stellarator_cfg):
     assert float(jnp.abs(A.data - B.data).max()) > 0
 
 
+@pytest.mark.slow
 def test_solve_shifts_banded_multishift(golden_eigenvalues, tokamak_cfg):
     """Multi-shift banded eigensolve: full eigenpairs per shift at
     O(n*band) memory, shifts fanned over devices (BASELINE config 5
