@@ -38,8 +38,22 @@ def main(argv=None):
                     help="device-parallel scan: fan this many concurrent "
                          "scan points out over the available devices "
                          "(disables eigenvalue continuation)")
+    ap.add_argument("--mesh-rows", type=int, default=None,
+                    help="distribute every solve over an N-device 'rows' "
+                         "mesh: sharded assembly (dense), SPIKE-distributed "
+                         "banded Newton solve (sparse), marker-sharded PIC; "
+                         "equivalent to input key \"mesh\": {\"rows\": N}")
     ap.add_argument("-q", "--quiet", action="store_true")
     args = ap.parse_args(argv)
+
+    import os
+    if args.mesh_rows and args.mesh_rows > 1 and args.device != "tpu":
+        # a CPU mesh needs virtual devices; must be set before jax init
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count"
+                        f"={args.mesh_rows}").strip()
 
     import jax
     if args.device == "cpu":
@@ -55,7 +69,8 @@ def main(argv=None):
     driver.run(args.input, output_dir=args.output_dir, dtype=dtype,
                checkpoint=not args.no_checkpoint, verbose=not args.quiet,
                chunk=args.chunk, host64=args.host64,
-               scan_workers=args.scan_workers, scan_mode=args.scan_mode)
+               scan_workers=args.scan_workers, scan_mode=args.scan_mode,
+               mesh_rows=args.mesh_rows)
     return 0
 
 

@@ -99,17 +99,38 @@ def _typed_array(vec) -> list:
 
 def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
                      dtype=jnp.float64, quad=None, chunk: int = 2048,
-                     host64: bool = False) -> dict:
+                     host64: bool = False, mesh=None) -> dict:
     """One eigen-method solve (main.cpp:19-80).  Returns the single-result
-    object and the converged omega for continuation."""
+    object and the converged omega for continuation.
+
+    ``mesh`` (a jax.sharding.Mesh with a ``rows`` axis, from the driver's
+    mesh config): dense backend -> mesh-sharded assembly
+    (parallel/sharded.solve); sparse backend -> the FULLY distributed
+    SPIKE Newton solve (parallel/spike.solve: sharded assembly + per-shard
+    banded LU + exact Woodbury trace)."""
     timer = Timer.get_timer()
     p = params_mod.from_config(cfg, dtype=dtype)
     tol = float(cfg.get("iteration_precision", 1e-6))
 
     backend = cfg.get("eigen_backend", "dense")
+    method = cfg.get("iteration_method", "TraceSecant")
     stats: dict = {}
+    M_dump = None
     with section("Iteration"):
-        if backend == "sparse":
+        if backend == "sparse" and mesh is not None:
+            if method != "TraceSecant":
+                raise ValueError(
+                    "mesh-distributed sparse solve supports "
+                    f"iteration_method='TraceSecant' only, got {method!r}")
+            from .parallel import spike
+            omega, vec, n_steps, M_dump = spike.solve(
+                p, omega_guess, mesh, tol=tol, quad=quad, chunk=chunk,
+                host64=host64,
+                band_deta=cfg.get("band_deta"),
+                block=cfg.get("band_block"),
+                tiered=cfg.get("quad_tiered"),
+                stats=stats)
+        elif backend == "sparse":
             # block-banded end-to-end path: the dense operator never exists
             omega, vec, n_steps, state = sparse_eigen.solve(
                 p, omega_guess, tol=tol, quad=quad, chunk=chunk,
@@ -117,17 +138,28 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
                 band_deta=cfg.get("band_deta"),
                 block=cfg.get("band_block"),
                 m_krylov=int(cfg.get("m_krylov", 0)),
-                method=cfg.get("iteration_method", "TraceSecant"),
+                method=method,
                 tiered=cfg.get("quad_tiered"),
                 stats=stats)
+            M_dump = state.M
+        elif backend == "dense" and mesh is not None:
+            if method != "TraceSecant":
+                raise ValueError(
+                    "mesh-sharded dense solve supports "
+                    f"iteration_method='TraceSecant' only, got {method!r}")
+            from .parallel import sharded
+            omega, vec, n_steps, state = sharded.solve(
+                p, omega_guess, mesh, tol=tol, quad=quad, chunk=chunk,
+                host64=host64)
+            M_dump = state.M
         elif backend == "dense":
-            method = cfg.get("iteration_method", "TraceSecant")
             omega, vec, n_steps, state = eigen.solve(
                 p, omega_guess, tol=tol, quad=quad, chunk=chunk,
                 method=method, host64=host64,
                 tiered=cfg.get("quad_tiered"),
                 timed=bool(cfg.get("eigen_timers", False)),
                 fused=cfg.get("fused_assembly"))
+            M_dump = state.M
         else:
             raise ValueError(
                 f"eigen_backend must be 'dense' or 'sparse', got {backend!r}")
@@ -138,9 +170,9 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
                 # banded dump: the BDIA planes (the dense matrix never
                 # existed) + JSON sidecar; load_bdia_dump reads it back
                 from .ops.sparse import save_bdia_dump
-                save_bdia_dump(state.M, matrix_file)
+                save_bdia_dump(M_dump, matrix_file)
             else:
-                fetch(state.M).astype(np.complex128).tofile(matrix_file)
+                fetch(M_dump).astype(np.complex128).tofile(matrix_file)
 
     # runtime quadrature-accuracy guard (VERDICT r1 item 6): check the
     # static panel mesh against the reference's own adaptive acceptance
@@ -168,9 +200,12 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
             tiers = kernels.tier_thresholds_ij(dxf, p.npoints)
         max_dij = None
         if backend == "sparse":
-            block = cfg.get("band_block") or sparse_eigen.pick_block(
-                2 * p.npoints if p.electromagnetic else p.npoints)
-            h = sparse_eigen.band_halfwidth(
+            # the sharded path picked its own (smaller) block; stats records
+            # the one actually used
+            block = stats.get("block") or cfg.get("band_block") or \
+                sparse_eigen.pick_block(
+                    2 * p.npoints if p.electromagnetic else p.npoints)
+            h = stats.get("h") or sparse_eigen.band_halfwidth(
                 p, grid, block,
                 cfg.get("band_deta") or sparse_eigen.DEFAULT_BAND_DETA)
             max_dij = sparse_eigen.em_de_max(p.npoints, h, block) \
@@ -190,7 +225,7 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
                 cfg2 = dict(cfg, quad_guard="off")
                 res2, omega2 = solve_once_eigen(
                     cfg2, omega, matrix_file=matrix_file, dtype=dtype,
-                    quad=quad2, chunk=chunk, host64=host64)
+                    quad=quad2, chunk=chunk, host64=host64, mesh=mesh)
                 res2["quadrature_guard"] = dict(guard_stats, refined=True)
                 res2["eigenvalue_coarse_mesh"] = [omega.real, omega.imag]
                 return res2, omega2
@@ -211,7 +246,7 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
 
 
 def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
-                   dtype=jnp.float64, seed: int = 0, **_) -> dict:
+                   dtype=jnp.float64, seed: int = 0, mesh=None, **_) -> dict:
     """One PIC-method solve (main.cpp:82-137).
 
     Config surface beyond the reference: ``gather_method`` ('take' |
@@ -219,7 +254,8 @@ def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
     (per-phase Particle Pushing / Field Solve / Diagnostics sections via a
     host-driven loop), ``time_step_adaptive`` (embedded-error step control,
     the reference Integrator's step_adaptive that its main() never wires
-    up)."""
+    up).  ``mesh``: markers shard over the ``rows`` axis with psum
+    deposition (parallel/sharded.pic_sharded_run)."""
     p = params_mod.from_config(cfg, dtype=dtype)
     mpc = int(cfg["marker_per_cell"])
     nt = int(cfg["step_number"])
@@ -237,7 +273,16 @@ def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
     times = None
     fields = None
     with section("PIC run"):
-        if adaptive:
+        if mesh is not None:
+            if adaptive or cfg.get("pic_timers"):
+                raise ValueError("mesh-sharded PIC does not support "
+                                 "time_step_adaptive / pic_timers")
+            from .parallel import sharded
+            with mesh:
+                state, stats = sharded.pic_sharded_run(
+                    p, mpc, nt, dt, mesh, key=key)
+                stats = fetch(stats)
+        elif adaptive:
             times, stats, state = pic.run_adaptive(
                 p, mpc, nt * dt, dt, key=key,
                 upper_err_bound=float(cfg.get("adaptive_upper_err", 1e-7)),
@@ -378,19 +423,43 @@ def _run_scan_parallel(solver, input_cfg, key, spec, guess, outdir, done,
 def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
         dtype=jnp.float64, checkpoint: bool = True, verbose: bool = True,
         quad=None, chunk: int = 2048, host64: bool = False,
-        scan_workers: int = 1, scan_mode: str = "wavefront") -> dict:
+        scan_workers: int = 1, scan_mode: str = "wavefront",
+        mesh_rows: int | None = None) -> dict:
     """Execute the full (possibly scanning) job; writes output.json and
     binary matrix dumps under ``output_dir``; returns the result object.
 
     ``scan_mode`` (with scan_workers > 1): "wavefront" keeps eigenvalue
     continuation in batches of scan_workers; "independent" seeds every
-    point from the user guess."""
+    point from the user guess.
+
+    ``mesh_rows`` (or a top-level input key ``"mesh": {"rows": N}``):
+    distribute every solve over an N-device ``rows`` mesh -- sharded
+    kernel-integral assembly for the dense backend, the fully distributed
+    SPIKE banded Newton solve for the sparse backend, marker-sharded psum
+    deposition for PIC.  Mutually exclusive with scan_workers > 1 (the scan
+    axis and the rows axis compete for the same devices; use
+    ``"mesh": {"rows": N}`` with N < device count to leave room)."""
     if scan_mode not in ("wavefront", "independent"):
         raise ValueError(f"scan_mode must be 'wavefront' or 'independent', "
                          f"got {scan_mode!r}")
     if not isinstance(input_cfg, dict):
         with open(input_cfg) as f:
             input_cfg = json.load(f)
+
+    mesh_cfg = input_cfg.get("mesh") or {}
+    rows = mesh_rows if mesh_rows is not None else mesh_cfg.get("rows")
+    mesh = None
+    if rows:
+        if scan_workers > 1:
+            raise ValueError("mesh and scan_workers > 1 are mutually "
+                             "exclusive")
+        from .parallel import mesh as mesh_mod
+        devices = jax.devices()
+        if len(devices) < int(rows):
+            # fall back to the (possibly virtual) CPU backend, as
+            # dryrun_multichip does on single-accelerator hosts
+            devices = jax.devices("cpu")
+        mesh = mesh_mod.make_mesh(n_rows=int(rows), devices=devices)
 
     outdir = pathlib.Path(output_dir)
     (outdir / "eigenMatrics").mkdir(parents=True, exist_ok=True)
@@ -437,7 +506,7 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
         unit = {"scan_key": "(None)", "scan_result": []}
         mfile = outdir / "eigenMatrics" / "eigenMatrix.bin"
         res, _ = solver(input_cfg, guess, matrix_file=mfile, dtype=dtype,
-                        quad=quad, chunk=chunk, host64=host64)
+                        quad=quad, chunk=chunk, host64=host64, mesh=mesh)
         unit["scan_result"].append(res)
         result["result"]["(None)"] = unit
     elif scan_workers > 1:
@@ -480,7 +549,7 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
                 try:
                     res, omega = solver(cfg, omega, matrix_file=mfile,
                                         dtype=dtype, quad=quad, chunk=chunk,
-                                        host64=host64)
+                                        host64=host64, mesh=mesh)
                     res["eigenMatrix"] = str(mfile)
                     res["scan_value"] = value
                     if verbose:

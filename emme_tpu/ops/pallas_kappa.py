@@ -229,11 +229,15 @@ def _kappa_kernel(scal_ref, mid_ref, halfw_ref, pair_ref,
     bb = pair_ref[:, 3][:, None]
     sbb = jnp.sqrt(ba * bb)
 
-    # contour rotation (Parameters.cpp:121-129): omi = -copysign(1, Re om)
+    # contour rotation (Parameters.cpp:121-129): omi = -copysign(1, Re om).
+    # e^{i phi} with phi = -omi * atan(t/arc) evaluated WITHOUT atan (no
+    # Pallas TPU lowering for it): cos(atan y) = 1/sqrt(1+y^2),
+    # sin(atan y) = y/sqrt(1+y^2) -- exact, and cheaper than the trig chain.
     omi = -jnp.sign(jnp.where(om_r == 0, jnp.float32(1.0), om_r))
-    phi = -omi * jnp.arctan(t / arc)
-    ear = jnp.cos(phi)
-    eai = jnp.sin(phi)
+    y = t / arc
+    rinv = jax.lax.rsqrt(1.0 + y * y)
+    ear = rinv
+    eai = -omi * y * rinv
     tautr = t * ear
     tauti = t * eai
     g = omi * t / (arc * (1.0 + (t / arc) ** 2))

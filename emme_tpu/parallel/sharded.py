@@ -99,6 +99,60 @@ def sharded_init_state(p, grid, coeff, omega_init, mesh, quad=None,
     return eigen_mod.EigenState(omega=omega, d_omega=d_omega, M=M, dM=dM)
 
 
+_DENSE_MESH_JIT: dict = {}
+
+
+def _dense_fns(mesh, quad, chunk: int, dtype):
+    qkey = tuple(sorted(quad.items())) if quad else None
+    key = (id(mesh), qkey, chunk, jnp.dtype(dtype).name)
+    if key not in _DENSE_MESH_JIT:
+        cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        init = jax.jit(lambda p, g, c, re, im: sharded_init_state(
+            p, g, c, (re + 1j * im).astype(cdtype), mesh, quad, chunk))
+        step = jax.jit(lambda p, g, c, s: sharded_newton_step(
+            p, g, c, s, mesh, quad, chunk))
+        _DENSE_MESH_JIT[key] = (init, step)
+    return _DENSE_MESH_JIT[key]
+
+
+def solve(p, omega_init, mesh: Mesh, tol: float | None = None, quad=None,
+          chunk: int = 2048, dtype=None, host64: bool = False):
+    """Dense eigen solve with mesh-sharded assembly: the quadrature work --
+    >75% of the solve -- fans out over the ``rows`` axis; the Newton trace
+    solve runs on the replicated operator (for a distributed solve use the
+    sparse backend's SPIKE path, ``parallel/spike.py``).  Semantics match
+    ``eigen.solve`` (TraceSecant, reference seeding/criterion); trajectories
+    agree to roundoff (tests/test_sharded.py).
+
+    Returns (omega, eigenvector, n_steps, state)."""
+    from ..ops.singularity import singularity_coeff_matrix
+    from ..solvers.eigen import fetch_complex, host64_polish, null_space
+
+    tol = tol if tol is not None else 1e-6
+    dtype = dtype if dtype is not None else jnp.asarray(p.length).dtype
+    grid = Grid.create(p.length, p.npoints, dtype=dtype)
+    coeff = singularity_coeff_matrix(p.npoints, dtype=dtype)
+    init, step = _dense_fns(mesh, quad, chunk, dtype)
+    omega_init = complex(omega_init)
+    dev_tol = max(tol, 2e-4) if host64 else tol
+    with mesh:
+        state = init(p, grid, coeff, jnp.asarray(omega_init.real, dtype),
+                     jnp.asarray(omega_init.imag, dtype))
+        n_steps = 0
+        for j in range(p.iteration_step_limit + 1):
+            state = step(p, grid, coeff, state)
+            n_steps = j + 1
+            if abs(fetch_complex(state.d_omega)) < \
+                    dev_tol * abs(fetch_complex(state.omega)):
+                break
+        if host64:
+            omega, v, extra = host64_polish(p, grid, coeff, state, tol,
+                                            quad=quad, chunk=chunk)
+            return omega, v, n_steps + extra, state
+        vec = null_space(state.M)
+    return fetch_complex(state.omega), vec, n_steps, state
+
+
 # ---------------------------------------------------------------------------
 # Row-block sharded SpMV with ppermute halo exchange (BASELINE north star:
 # "rows/blocks of the operator partitioned across the pod slice with halo

@@ -452,6 +452,50 @@ def fetch_complex(x) -> complex:
 _SOLVE_JIT_CACHE: dict = {}
 
 
+def _traced_solve_fn(method: str, quad, chunk: int, cdtype, tiers=None,
+                     fused: bool = False, need_vec: bool = True):
+    """Fully-traced solve: init + ``lax.while_loop`` Newton iteration (+
+    optional nullspace) compiled as ONE program.  The convergence test
+    |d_omega| < tol * |omega| (main.cpp:53-56) runs on device, so the whole
+    solve costs a single host sync instead of one per step -- through the
+    axon tunnel each step's device->host scalar fetch is ~25 ms, comparable
+    to a full n<=1024 assembly.  ``tol`` and ``max_steps`` are traced
+    operands (no recompile across tolerances / step limits)."""
+    qkey = tuple(sorted(quad.items())) if quad else None
+    key = ("traced", method, qkey, chunk, jnp.dtype(cdtype).name, tiers,
+           fused, need_vec)
+    if key not in _SOLVE_JIT_CACHE:
+        step_fn = newton_trace_step if method == "TraceSecant" \
+            else newton_qr_secant_step
+
+        def run(p, grid, coeff, re, im, tol, max_steps):
+            omega0 = (re + 1j * im).astype(cdtype)
+            state = init_state(p, grid, coeff, omega0, quad, chunk, tiers,
+                               fused)
+
+            def cond(carry):
+                state, j, done = carry
+                return jnp.logical_and(j < max_steps,
+                                       jnp.logical_not(done))
+
+            def body(carry):
+                state, j, _ = carry
+                state = step_fn(p, grid, coeff, state, quad=quad,
+                                chunk=chunk, tiers=tiers, fused=fused)
+                done = jnp.abs(state.d_omega) < tol * jnp.abs(state.omega)
+                return state, j + 1, done
+
+            state, n_steps, _ = jax.lax.while_loop(
+                cond, body,
+                (state, jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+            if need_vec:
+                return state, n_steps, linalg.null_space_vector(state.M)
+            return state, n_steps
+
+        _SOLVE_JIT_CACHE[key] = jax.jit(run)
+    return _SOLVE_JIT_CACHE[key]
+
+
 def _solve_fns(method: str, quad, chunk: int, cdtype, tiers=None,
                fused: bool = False):
     """Per-(method, quad, chunk, dtype, tiers, fused) jitted step/init pair,
@@ -605,14 +649,21 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
           chunk: int = 2048, callback=None, dtype=None,
           method: str = "TraceSecant", host64: bool = False,
           tiered: bool | None = None, timed: bool = False,
-          fused: bool | None = None):
-    """Full eigen solve on host: returns (omega, eigenvector, n_steps, state).
+          fused: bool | None = None, loop: str | None = None):
+    """Full eigen solve: returns (omega, eigenvector, n_steps, state).
 
     Convergence: |d_omega| < tol * |omega| within iteration_step_limit steps
     (main.cpp:43-57).  ``method``: "TraceSecant" (default) or the QR-secant
     variant, selected like main.cpp:45-49.  ``host64=True`` appends the
     hybrid-precision polish (device assembly + host complex128 linalg) --
     the way to reach the reference's 1e-6 tolerance on a TPU without f64.
+
+    ``loop``: "device" runs the fully-traced variant -- init +
+    ``lax.while_loop`` Newton iteration (+ nullspace) as one compiled
+    program with the convergence test on device, ONE host sync per solve
+    instead of one per step.  "host" keeps the host-driven loop (needed for
+    ``callback``/``timed``).  Default: "device" on TPU (where per-step
+    dispatch latency is real money), "host" on CPU.
 
     ``tiered``: coarser panel meshes for far |eta - eta'| pairs
     (kernels.TIER_TABLE; ~2.7x fewer integrand evals at the canonical
@@ -649,31 +700,55 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
     if fused and dtype == jnp.float64:
         raise ValueError("fused=True is f32-only (Pallas TPU kernel)")
 
-    step, init = _solve_fns(method, quad, chunk, cdtype, tiers, fused)
+    if loop is None:
+        loop = "device" if (jax.default_backend() == "tpu"
+                            and callback is None and not timed) else "host"
+    if loop not in ("host", "device"):
+        raise ValueError(f"loop must be 'host' or 'device', got {loop!r}")
+    if loop == "device" and (callback is not None or timed):
+        raise ValueError("loop='device' is incompatible with callback/timed")
+
     omega_init = complex(omega_init)
-    state = init(p, grid, coeff, jnp.asarray(omega_init.real, dtype),
-                 jnp.asarray(omega_init.imag, dtype))
     # with a host64 polish the device loop only needs to reach the f32
     # plateau; crawling further just burns assemblies on rounding jitter
     dev_tol = max(tol, 2e-4) if host64 else tol
-    if timed:
-        state, n_steps = _solve_timed_loop(
-            p, grid, coeff, state, dev_tol, quad, chunk, tiers, dtype,
-            cdtype, callback, fused)
+
+    if loop == "device":
+        run = _traced_solve_fn(method, quad, chunk, cdtype, tiers, fused,
+                               need_vec=not host64)
+        out = run(p, grid, coeff,
+                  jnp.asarray(omega_init.real, dtype),
+                  jnp.asarray(omega_init.imag, dtype),
+                  jnp.asarray(dev_tol, dtype),
+                  jnp.asarray(p.iteration_step_limit + 1, jnp.int32))
+        if host64:
+            state, n_dev = out
+        else:
+            state, n_dev, vec = out
+        n_steps = int(n_dev)
     else:
-        n_steps = 0
-        for j in range(p.iteration_step_limit + 1):
-            state = step(p, grid, coeff, state)
-            n_steps = j + 1
-            if callback is not None:
-                callback(j, state)
-            if abs(fetch_complex(state.d_omega)) < \
-                    dev_tol * abs(fetch_complex(state.omega)):
-                break
+        step, init = _solve_fns(method, quad, chunk, cdtype, tiers, fused)
+        state = init(p, grid, coeff, jnp.asarray(omega_init.real, dtype),
+                     jnp.asarray(omega_init.imag, dtype))
+        if timed:
+            state, n_steps = _solve_timed_loop(
+                p, grid, coeff, state, dev_tol, quad, chunk, tiers, dtype,
+                cdtype, callback, fused)
+        else:
+            n_steps = 0
+            for j in range(p.iteration_step_limit + 1):
+                state = step(p, grid, coeff, state)
+                n_steps = j + 1
+                if callback is not None:
+                    callback(j, state)
+                if abs(fetch_complex(state.d_omega)) < \
+                        dev_tol * abs(fetch_complex(state.omega)):
+                    break
     if host64:
         omega, v, extra = host64_polish(p, grid, coeff, state, tol,
                                         quad=quad, chunk=chunk, tiers=tiers,
                                         fused=fused)
         return omega, v, n_steps + extra, state
-    vec = null_space(state.M)
+    if loop == "host":
+        vec = null_space(state.M)
     return fetch_complex(state.omega), vec, n_steps, state

@@ -201,25 +201,32 @@ def assemble_bdia(p, grid: Grid, coeff_band, omega, h: int, block: int,
 
 
 def _kernel_table(p, grid, omega, de_max: int, ms, quad, chunk, tiers,
-                  electron: bool = False):
+                  electron: bool = False, i0=0, ncols: int | None = None):
     """Ordered-pair kernel table over the PADDED (de, i) grid:
-    row de - 1 holds kappa(eta_i, eta_{i + de}) for i = 0..n-1 (entries
-    with i + de >= n evaluate a clamped dummy pair and must not be read).
-    Tier slices are contiguous row ranges.  Returns per-m (re, im) plane
-    lists, each shaped (de_max, n)."""
+    row de - 1 holds kappa(eta_i, eta_{i + de}) for i = i0..i0+ncols-1
+    (entries with i < 0 or i + de >= n evaluate a clamped dummy pair and
+    must not be read).  Tier slices are contiguous row ranges.  Returns
+    per-m (re, im) plane lists, each shaped (de_max, ncols).
+
+    ``i0`` (traced ok) / ``ncols`` (static) support the mesh-sharded
+    assembly: each shard computes only the table window covering its own
+    block rows plus the de_max halo."""
     n = grid.npoints
     eta = grid.eta
     rdtype = eta.dtype
     dx = grid.dx
+    nc = n if ncols is None else ncols
 
     def rows(lo_de, hi_de, q):
         nr = hi_de - lo_de + 1
-        DE = jax.lax.broadcasted_iota(jnp.int32, (nr, n), 0) + lo_de
-        I2 = jax.lax.broadcasted_iota(jnp.int32, (nr, n), 1)
-        Jc = jnp.minimum(I2 + DE, n - 1)
-        ea = jnp.broadcast_to(eta, (nr, n)).reshape(-1)
-        eb = jnp.where((I2 + DE <= n - 1), jnp.take(eta, Jc),
-                       jnp.broadcast_to(eta, (nr, n)) + dx).reshape(-1)
+        DE = jax.lax.broadcasted_iota(jnp.int32, (nr, nc), 0) + lo_de
+        I2 = jax.lax.broadcasted_iota(jnp.int32, (nr, nc), 1) + i0
+        Ic = jnp.clip(I2, 0, n - 1)
+        Jc = jnp.clip(I2 + DE, 0, n - 1)
+        valid = (I2 >= 0) & (I2 + DE <= n - 1)
+        ea = jnp.take(eta, Ic).reshape(-1)
+        eb = jnp.where(valid, jnp.take(eta, Jc),
+                       jnp.take(eta, Ic) + dx).reshape(-1)
 
         def compute(args):
             a, b = args
@@ -230,7 +237,7 @@ def _kernel_table(p, grid, omega, de_max: int, ms, quad, chunk, tiers,
                         vals[2] + kernels.kappa_f_tau_e(p, a, b, omega, 2))
             return vals
 
-        return eigen_mod._chunked(compute, (ea, eb), nr * n, chunk)
+        return eigen_mod._chunked(compute, (ea, eb), nr * nc, chunk)
 
     sections = []
     if tiers is None:
@@ -252,9 +259,9 @@ def _kernel_table(p, grid, omega, de_max: int, ms, quad, chunk, tiers,
     out_r, out_i = [], []
     for m in range(len(ms)):
         out_r.append(jnp.concatenate(
-            [jnp.real(pt[m]).astype(rdtype).reshape(-1, n) for pt in parts]))
+            [jnp.real(pt[m]).astype(rdtype).reshape(-1, nc) for pt in parts]))
         out_i.append(jnp.concatenate(
-            [jnp.imag(pt[m]).astype(rdtype).reshape(-1, n) for pt in parts]))
+            [jnp.imag(pt[m]).astype(rdtype).reshape(-1, nc) for pt in parts]))
     return out_r, out_i
 
 
@@ -350,6 +357,96 @@ def _assemble_bdia_em(p, grid: Grid, coeff_band, omega, h: int, block: int,
     data = jnp.stack(neg[::-1] + pos_blocks)
     return BDIAOperator(data=data, offsets=tuple(range(-h, h + 1)),
                         n=dim, block=bs)
+
+
+def assemble_bdia_window(p, grid: Grid, coeff_band, omega, h: int,
+                         block: int, row0, nbl: int, quad=None,
+                         chunk: int = 4096, tiers=None):
+    """Block rows [row0, row0 + nbl) of the global BDIA operator, ALL 2h+1
+    diagonals built directly (no transpose mirroring; crossing blocks
+    INCLUDED -- the mesh-sharded SPIKE path masks/extracts them itself).
+
+    ``row0`` may be a traced scalar (inside shard_map it comes from
+    ``jax.lax.axis_index``); ``nbl`` is static.  The kernel table is
+    computed only over the window [row0*bs - de_max, row0*bs + nbl*bs),
+    so the quadrature work -- the dominant cost -- shards linearly over
+    the mesh.  Returns raw (2h+1, nbl, 2, bs, bs) planes (same layout as
+    ``BDIAOperator.data`` rows).  Validated against ``assemble_bdia`` in
+    tests/test_spike.py."""
+    n = grid.npoints
+    bs = block
+    dx = grid.dx
+    rdtype = grid.eta.dtype
+    em = bool(p.electromagnetic)
+    dim = 2 * n if em else n
+    nb = dim // bs
+    de_max = em_de_max(n, h, bs) if em else min((h + 1) * bs - 1, n - 1)
+
+    el0 = (row0 * bs) // 2 if em else row0 * bs   # first element row
+    nel = (nbl * bs) // 2 if em else nbl * bs     # element rows in window
+    i0 = el0 - de_max
+    ncols = nel + de_max
+
+    ms = (0, 1, 2) if em else (0,)
+    Tr, Ti = _kernel_table(p, grid, omega, de_max, ms, quad, chunk, tiers,
+                           electron=em, i0=i0, ncols=ncols)
+    zrow = jnp.zeros((1, ncols), rdtype)
+    Tr = [jnp.concatenate([zrow, t]).reshape(-1) for t in Tr]
+    Ti = [jnp.concatenate([zrow, t]).reshape(-1) for t in Ti]
+
+    coeff_flat = coeff_band.reshape(-1)
+    ncol = coeff_band.shape[1]
+    cw = ncol // 2
+    diag_phi = jnp.asarray(1.0 + 1.0 / p.tau, rdtype)
+    if em:
+        diag_A = ((2.0 * p.tau) / p.beta_e * p.bi(grid.eta)).astype(rdtype)
+
+    blocks = []
+    for d in range(-h, h + 1):
+        shp = (nbl, bs, bs)
+        I3 = jax.lax.broadcasted_iota(jnp.int32, shp, 0) + row0
+        A3 = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+        B3 = jax.lax.broadcasted_iota(jnp.int32, shp, 2)
+        r_idx = I3 * bs + A3
+        c_idx = (I3 + d) * bs + B3
+        ii = r_idx // 2 if em else r_idx
+        jj = c_idx // 2 if em else c_idx
+        de = jj - ii
+        adiff = jnp.abs(de)
+        lo = jnp.minimum(ii, jj)
+        valid = (c_idx >= 0) & (c_idx < dim)
+        lo_c = jnp.clip(lo, i0, i0 + ncols - 1)
+        pos = jnp.clip(adiff, 0, de_max) * ncols + (lo_c - i0)
+        cvals = jnp.take(coeff_flat,
+                         lo_c * ncol + jnp.minimum(adiff, cw) + cw)
+        vmask = valid.astype(rdtype)
+        if not em:
+            vr = -jnp.take(Tr[0], pos) * cvals * dx * vmask
+            vi = -jnp.take(Ti[0], pos) * cvals * dx * vmask
+        else:
+            sgn = jnp.sign(de).astype(rdtype)
+            usign = jnp.where(r_idx % 2 == 0, sgn, -sgn)
+            phiphi = (r_idx % 2 == 0) & (c_idx % 2 == 0)
+            AA = (r_idx % 2 == 1) & (c_idx % 2 == 1)
+            vr = jnp.where(phiphi, -jnp.take(Tr[0], pos) * cvals,
+                           jnp.where(AA, jnp.take(Tr[2], pos),
+                                     usign * jnp.take(Tr[1], pos))) \
+                * dx * vmask
+            vi = jnp.where(phiphi, -jnp.take(Ti[0], pos) * cvals,
+                           jnp.where(AA, jnp.take(Ti[2], pos),
+                                     usign * jnp.take(Ti[1], pos))) \
+                * dx * vmask
+        if d == 0:
+            eye = r_idx == c_idx
+            if em:
+                dvals = jnp.where(r_idx % 2 == 0, diag_phi,
+                                  jnp.take(diag_A, jnp.clip(ii, 0, n - 1)))
+            else:
+                dvals = diag_phi
+            vr = jnp.where(eye, dvals, vr)
+            vi = jnp.where(eye, 0.0, vi)
+        blocks.append(jnp.stack([vr, vi], axis=1))
+    return jnp.stack(blocks)
 
 
 def deinterleave(vec):

@@ -50,6 +50,22 @@ def test_eigen_solve_tok32(goldens_dir, tokamak_cfg, golden_eigenvalues):
     assert _vec_corr(gv, np.asarray(vec)) > 1 - 1e-7
 
 
+def test_eigen_solve_device_loop_matches_host(tokamak_cfg, golden_eigenvalues):
+    # the fully-traced lax.while_loop variant (convergence test on device,
+    # one host sync per solve) must walk the same trajectory as the
+    # host-driven loop: same omega, same step count, same nullspace.
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    om_h, vec_h, n_h, _ = eigen.solve(p, -0.8 + 0.25j, tol=1e-6, loop="host")
+    om_d, vec_d, n_d, _ = eigen.solve(p, -0.8 + 0.25j, tol=1e-6,
+                                      loop="device")
+    assert n_d == n_h
+    assert abs(om_d - om_h) / abs(om_h) < 1e-12
+    assert _vec_corr(np.asarray(vec_h), np.asarray(vec_d)) > 1 - 1e-10
+    ref = complex(*golden_eigenvalues["tok32"]["omega"])
+    assert abs(om_d - ref) / abs(ref) < 2e-6
+
+
 @pytest.mark.slow
 def test_eigen_solve_stel32(goldens_dir, stellarator_cfg, golden_eigenvalues):
     cfg = dict(stellarator_cfg, npoints=32)

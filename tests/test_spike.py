@@ -1,0 +1,198 @@
+"""Distributed (SPIKE + Woodbury) banded solve vs the single-device path,
+on the virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from emme_tpu import from_config
+from emme_tpu.grid import Grid
+from emme_tpu.ops import banded
+from emme_tpu.ops.singularity import singularity_coeff_band
+from emme_tpu.ops.sparse import BDIAOperator, bdia_matvec
+from emme_tpu.parallel import mesh as mesh_mod
+from emme_tpu.parallel import spike
+from emme_tpu.solvers import sparse_eigen
+
+
+QUAD = {"n_shoulder": 12, "n_osc": 24, "n_tail": 6}
+
+
+def _mesh(rows):
+    return mesh_mod.make_mesh(n_rows=rows, n_scan=1,
+                              devices=jax.devices("cpu")[:rows])
+
+
+def _tok_op(tokamak_cfg, n=128, bs=8, h=3):
+    cfg = dict(tokamak_cfg, npoints=n)
+    p = from_config(cfg)
+    grid = Grid.create(p.length, p.npoints)
+    cband = singularity_coeff_band(p.npoints, (h + 1) * bs - 1)
+    op = sparse_eigen.assemble_bdia(p, grid, cband, -0.8 + 0.25j, h, bs,
+                                    quad=QUAD)
+    return p, grid, cband, op
+
+
+def test_assemble_window_matches_global(tokamak_cfg):
+    p, grid, cband, op = _tok_op(tokamak_cfg)
+    nb = op.n // op.block
+    h = max(op.offsets)
+    # windows tile the matrix; stacked windows must reproduce the global data
+    nbl = nb // 4
+    parts = [sparse_eigen.assemble_bdia_window(
+        p, grid, cband, -0.8 + 0.25j, h, op.block, s * nbl, nbl, quad=QUAD)
+        for s in range(4)]
+    got = jnp.concatenate(parts, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(op.data),
+                               rtol=0, atol=1e-12)
+
+
+def test_assemble_window_matches_global_em(stellarator_cfg):
+    cfg = dict(stellarator_cfg, npoints=32)
+    p = from_config(cfg)
+    assert p.electromagnetic
+    grid = Grid.create(p.length, p.npoints)
+    bs, h = 8, 3
+    w_el = sparse_eigen.em_de_max(p.npoints, h, bs)
+    cband = singularity_coeff_band(p.npoints, w_el)
+    om = -1.656 + 2.490j
+    op = sparse_eigen.assemble_bdia(p, grid, cband, om, h, bs, quad=QUAD)
+    nb = op.n // bs
+    nbl = nb // 2
+    parts = [sparse_eigen.assemble_bdia_window(
+        p, grid, cband, om, h, bs, s * nbl, nbl, quad=QUAD)
+        for s in range(2)]
+    got = jnp.concatenate(parts, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(op.data),
+                               rtol=0, atol=1e-12)
+
+
+def test_sharded_assembly_matches(tokamak_cfg):
+    p, grid, cband, op = _tok_op(tokamak_cfg)
+    mesh = _mesh(4)
+    with mesh:
+        op_s = spike.sharded_assemble_bdia(p, grid, cband, -0.8 + 0.25j,
+                                           max(op.offsets), op.block, mesh,
+                                           quad=QUAD)
+        data = jax.device_get(op_s.data)
+    np.testing.assert_allclose(data, np.asarray(op.data), rtol=0, atol=1e-12)
+
+
+def test_spike_solve_matches_banded(tokamak_cfg):
+    p, grid, cband, op = _tok_op(tokamak_cfg)
+    rng = np.random.default_rng(0)
+    fr = jnp.asarray(rng.normal(size=op.n))
+    fi = jnp.asarray(rng.normal(size=op.n))
+    lu = banded.banded_lu(op)
+    zr_ref, zi_ref = banded.banded_solve(lu, fr, fi)
+    mesh = _mesh(4)
+    with mesh:
+        zr, zi = spike.sharded_solve_vec(op, mesh, fr, fi)
+        zr, zi = jax.device_get((zr, zi))
+    scale = np.abs(np.asarray(zr_ref)).max()
+    np.testing.assert_allclose(zr, np.asarray(zr_ref), rtol=0,
+                               atol=1e-10 * scale)
+    np.testing.assert_allclose(zi, np.asarray(zi_ref), rtol=0,
+                               atol=1e-10 * scale)
+
+
+def test_spike_trace_matches_takahashi(tokamak_cfg):
+    p, grid, cband, op = _tok_op(tokamak_cfg)
+    # dM from a nearby omega (a real secant difference, not a toy)
+    op2 = sparse_eigen.assemble_bdia(p, grid, cband, -0.81 + 0.26j,
+                                     max(op.offsets), op.block, quad=QUAD)
+    dM = sparse_eigen.bdia_secant(op2, op, 0.01 + 0.01j)
+    lu = banded.banded_lu(op)
+    Zu = banded.banded_selected_inverse(lu)
+    tr_ref_r, tr_ref_i = banded.banded_trace_product(Zu, dM)
+    tr_ref = complex(float(tr_ref_r), float(tr_ref_i))
+    mesh = _mesh(4)
+    with mesh:
+        dr, di = spike.sharded_trace_d_omega(op, dM, mesh)
+        got = -1.0 / complex(float(dr), float(di))
+    assert abs(got - tr_ref) / abs(tr_ref) < 1e-10
+
+
+def test_sharded_solve_end_to_end_matches(tokamak_cfg, golden_eigenvalues):
+    # the whole distributed Newton walk (sharded assembly + SPIKE trace +
+    # secant) must match the single-device sparse solve to f64 roundoff --
+    # same trajectory, same step count -- and hit the golden eigenvalue.
+    cfg = dict(tokamak_cfg, npoints=128)
+    p = from_config(cfg)
+    # band_deta=10 keeps h (=4 blocks) <= nbl (=4) on the 4-row mesh
+    om_ref, vec_ref, n_ref, _ = sparse_eigen.solve(
+        p, -0.8 + 0.25j, tol=1e-6, quad=QUAD, block=8, band_deta=10.0)
+    mesh = _mesh(4)
+    om, vec, n, _ = spike.solve(p, -0.8 + 0.25j, mesh, tol=1e-6, quad=QUAD,
+                                block=8, band_deta=10.0)
+    assert n == n_ref
+    assert abs(om - om_ref) / abs(om_ref) < 1e-11
+    corr = abs(np.vdot(vec, vec_ref)) / (
+        np.linalg.norm(vec) * np.linalg.norm(vec_ref))
+    assert corr > 1 - 1e-9
+    golden = complex(*golden_eigenvalues["tok128"]["omega"])
+    assert abs(om - golden) / abs(golden) < 2e-2  # band_deta=10 truncation
+
+
+def test_driver_mesh_sparse_end_to_end(tmp_path, tokamak_cfg):
+    # product surface: `"mesh": {"rows": N}` in the input JSON routes the
+    # sparse backend through the distributed SPIKE solve; omega must match
+    # the meshless driver run to f64 roundoff.
+    from emme_tpu import driver
+    base = dict(tokamak_cfg, npoints=128, method="eigen",
+                eigen_backend="sparse", band_block=8, band_deta=10.0,
+                initial_guess=[-0.8, 0.25], iteration_precision=1e-6,
+                quad_guard="off")
+    r0 = driver.run(base, output_dir=tmp_path / "single", verbose=False,
+                    quad=QUAD)
+    r1 = driver.run(dict(base, mesh={"rows": 4}),
+                    output_dir=tmp_path / "mesh", verbose=False, quad=QUAD)
+    ev0 = complex(*r0["result"]["(None)"]["scan_result"][0]["eigenvalue"])
+    ev1 = complex(*r1["result"]["(None)"]["scan_result"][0]["eigenvalue"])
+    assert abs(ev1 - ev0) / abs(ev0) < 1e-11
+    # the BDIA dump + sidecar must exist and be loadable
+    from emme_tpu.ops.sparse import load_bdia_dump
+    op = load_bdia_dump(tmp_path / "mesh" / "eigenMatrics" /
+                        "eigenMatrix.bin")
+    assert op.n == 128
+
+
+def test_driver_mesh_dense_end_to_end(tmp_path, tokamak_cfg):
+    from emme_tpu import driver
+    base = dict(tokamak_cfg, npoints=64, method="eigen",
+                initial_guess=[-0.8, 0.25], iteration_precision=1e-6,
+                quad_guard="off")
+    r0 = driver.run(base, output_dir=tmp_path / "single", verbose=False,
+                    quad=QUAD)
+    r1 = driver.run(dict(base, mesh={"rows": 4}),
+                    output_dir=tmp_path / "mesh", verbose=False, quad=QUAD)
+    ev0 = complex(*r0["result"]["(None)"]["scan_result"][0]["eigenvalue"])
+    ev1 = complex(*r1["result"]["(None)"]["scan_result"][0]["eigenvalue"])
+    assert abs(ev1 - ev0) / abs(ev0) < 1e-10
+
+
+def test_driver_mesh_pic(tmp_path, tokamak_cfg):
+    from emme_tpu import driver
+    base = dict(tokamak_cfg, npoints=32, method="PIC", marker_per_cell=16,
+                step_number=8, time_step=0.25, initial_guess=[-0.8, 0.25])
+    r1 = driver.run(dict(base, mesh={"rows": 4}),
+                    output_dir=tmp_path / "mesh", verbose=False)
+    ev = r1["result"]["(None)"]["scan_result"][0]["eigenvalue"]
+    assert np.isfinite(ev).all()
+
+
+def test_sharded_nullspace(tokamak_cfg):
+    p, grid, cband, op = _tok_op(tokamak_cfg)
+    mesh = _mesh(4)
+    with mesh:
+        vr, vi = spike.sharded_nullspace(op, mesh)
+        vr, vi = jax.device_get((vr, vi))
+    # same amplified direction as the single-device inverse iteration
+    lu = banded.banded_lu(op)
+    from emme_tpu.solvers.sparse_eigen import _null_vector
+    wr, wi = _null_vector(lu, op.n, op.data.dtype, iters=3)
+    v = vr + 1j * vi
+    w = np.asarray(wr) + 1j * np.asarray(wi)
+    corr = abs(np.vdot(v, w)) / (np.linalg.norm(v) * np.linalg.norm(w))
+    assert corr > 1 - 1e-9
