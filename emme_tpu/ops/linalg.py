@@ -68,6 +68,164 @@ def complex_bilinear(v, M):
     return re + 1j * im
 
 
+def qr_column_pivoted(M):
+    """Householder QR with column pivoting (Businger-Golub greedy pivot on
+    trailing column norms -- the algorithm family behind LAPACK ``zgeqp3``,
+    which the reference's QR-secant iteration calls at solver.h:246-252),
+    on (re, im) planes under one ``lax.scan`` (no complex linalg on TPU).
+
+    Phase convention: beta = -(alpha/|alpha|) * ||x|| (the numerically
+    stable 'phase of alpha' choice).  The QR-secant update below is
+    invariant to this convention (R_nn and q_n pick up conjugate phases
+    that cancel), so trajectory parity with the LAPACK-built reference does
+    not depend on it.  Trailing norms are recomputed exactly every step
+    (O(n^2), same order as the Householder update itself) instead of
+    downdated -- no cancellation drift.
+
+    Returns (Vr, Vi, tau_r, tau_i, Rr, Ri, perm): packed unit-lower
+    reflectors (V[:, k] = v_k, v_k[k] = 1), their taus, the triangular
+    factor, and the column permutation (A[:, perm] = Q R).
+    """
+    n = M.shape[-1]
+    rdtype = jnp.real(M).dtype
+    Ar0 = jnp.real(M)
+    Ai0 = jnp.imag(M)
+    rows = jnp.arange(n)
+
+    def step(carry, k):
+        Ar, Ai, perm = carry
+        below = (rows >= k).astype(rdtype)[:, None]
+
+        # greedy pivot: largest trailing column norm among columns >= k
+        nrm2 = jnp.sum((Ar * Ar + Ai * Ai) * below, axis=0)
+        nrm2 = jnp.where(rows >= k, nrm2, -1.0)
+        jstar = jnp.argmax(nrm2)
+
+        # swap columns k <-> jstar (planes + permutation record)
+        idx = rows.at[k].set(jstar).at[jstar].set(k)
+        Ar = Ar[:, idx]
+        Ai = Ai[:, idx]
+        perm = perm[idx]
+
+        # Householder vector for x = A[k:, k]
+        xr = Ar[:, k] * below[:, 0]
+        xi = Ai[:, k] * below[:, 0]
+        normx = jnp.sqrt(jnp.sum(xr * xr + xi * xi))
+        a_r = Ar[k, k]
+        a_i = Ai[k, k]
+        absa = jnp.sqrt(a_r * a_r + a_i * a_i)
+        tiny = jnp.asarray(jnp.finfo(rdtype).tiny, rdtype)
+        # beta = -(alpha/|alpha|) normx  (alpha = 0 -> beta = -normx)
+        ph_r = jnp.where(absa > 0, a_r / jnp.maximum(absa, tiny), 1.0)
+        ph_i = jnp.where(absa > 0, a_i / jnp.maximum(absa, tiny), 0.0)
+        b_r = -ph_r * normx
+        b_i = -ph_i * normx
+        # v = x - beta e_k, normalized to v[k] = 1: v = x / (alpha - beta)
+        d_r = a_r - b_r
+        d_i = a_i - b_i
+        d2 = d_r * d_r + d_i * d_i
+        degen = d2 < tiny            # x = 0: H = I (tau = 0)
+        d2s = jnp.where(degen, 1.0, d2)
+        inv_r = d_r / d2s
+        inv_i = -d_i / d2s
+        vr = xr * inv_r - xi * inv_i
+        vi = xr * inv_i + xi * inv_r
+        vr = jnp.where(rows == k, 1.0, vr)
+        vi = jnp.where(rows == k, 0.0, vi)
+        # tau = (beta - alpha) / beta = -d / beta
+        b2 = b_r * b_r + b_i * b_i
+        b2s = jnp.where(degen, 1.0, b2)
+        t_r = jnp.where(degen, 0.0, -(d_r * b_r + d_i * b_i) / b2s)
+        t_i = jnp.where(degen, 0.0, -(d_i * b_r - d_r * b_i) / b2s)
+
+        # A <- (I - tau v v^H) A : w = v^H A, A -= tau v w
+        wr = vr @ Ar + vi @ Ai       # Re(v^H A)
+        wi = vr @ Ai - vi @ Ar       # Im(v^H A)
+        twr = t_r * wr - t_i * wi
+        twi = t_r * wi + t_i * wr
+        Ar = Ar - (vr[:, None] * twr[None, :] - vi[:, None] * twi[None, :])
+        Ai = Ai - (vr[:, None] * twi[None, :] + vi[:, None] * twr[None, :])
+        # column k below the diagonal is exactly zero by construction
+        colk = rows == k
+        Ar = jnp.where(colk[None, :] & (rows > k)[:, None], 0.0, Ar)
+        Ai = jnp.where(colk[None, :] & (rows > k)[:, None], 0.0, Ai)
+
+        return (Ar, Ai, perm), (vr, vi, t_r, t_i)
+
+    (Rr, Ri, perm), (Vr, Vi, tau_r, tau_i) = jax.lax.scan(
+        step, (Ar0, Ai0, jnp.arange(n)), jnp.arange(n))
+    return Vr.T, Vi.T, tau_r, tau_i, Rr, Ri, perm
+
+
+def _apply_qH(Vr, Vi, tau_r, tau_i, ur, ui):
+    """u <- Q^H u for Q = H_1 ... H_n (packed reflectors): apply
+    H_k^H = I - conj(tau_k) v_k v_k^H in ascending k."""
+    def step(carry, vk):
+        ur, ui = carry
+        vr, vi, t_r, t_i = vk
+        # s = v^H u
+        s_r = vr @ ur + vi @ ui
+        s_i = vr @ ui - vi @ ur
+        # conj(tau) * s
+        c_r = t_r * s_r + t_i * s_i
+        c_i = t_r * s_i - t_i * s_r
+        ur = ur - (vr * c_r - vi * c_i)
+        ui = ui - (vr * c_i + vi * c_r)
+        return (ur, ui), None
+
+    (ur, ui), _ = jax.lax.scan(step, (ur, ui),
+                               (Vr.T, Vi.T, tau_r, tau_i))
+    return ur, ui
+
+
+def qr_secant_delta(M, dM):
+    """The reference's TRUE QR-secant update (solver.h:210-383): column-
+    pivoted QR M P = Q R; v = P [-R_11^{-1} r; 1] (so M v = R_nn q_n);
+    d_omega = -R_nn / (Q^H dM v)_n.  All steps on (re, im) planes.
+    Returns the complex d_omega."""
+    n = M.shape[-1]
+    rdtype = jnp.real(M).dtype
+    Vr, Vi, tau_r, tau_i, Rr, Ri, perm = qr_column_pivoted(M)
+
+    # back-substitution: R[0:n-1, 0:n-1] w = R[0:n-1, n-1]
+    rr = Rr[:, n - 1]
+    ri = Ri[:, n - 1]
+
+    def bsub(carry, k):
+        wr, wi = carry
+        # residual row k: r_k - sum_{j>k} R[k, j] w_j   (w_j = 0 for j <= k)
+        s_r = Rr[k] @ wr - Ri[k] @ wi
+        s_i = Rr[k] @ wi + Ri[k] @ wr
+        num_r = rr[k] - s_r
+        num_i = ri[k] - s_i
+        dkk_r = Rr[k, k]
+        dkk_i = Ri[k, k]
+        d2 = dkk_r * dkk_r + dkk_i * dkk_i
+        wk_r = (num_r * dkk_r + num_i * dkk_i) / d2
+        wk_i = (num_i * dkk_r - num_r * dkk_i) / d2
+        wr = wr.at[k].set(wk_r)
+        wi = wi.at[k].set(wk_i)
+        return (wr, wi), None
+
+    w0 = jnp.zeros((n,), rdtype)
+    (wr, wi), _ = jax.lax.scan(bsub, (w0, w0),
+                               jnp.arange(n - 2, -1, -1))
+
+    # v[perm[i]] = -w[i] (i < n-1), v[perm[n-1]] = 1
+    vr = jnp.zeros((n,), rdtype).at[perm].set(-wr).at[perm[n - 1]].set(1.0)
+    vi = jnp.zeros((n,), rdtype).at[perm].set(-wi).at[perm[n - 1]].set(0.0)
+
+    # u = Q^H (dM v); d_omega = -R_nn / u_n
+    dMr = jnp.real(dM)
+    dMi = jnp.imag(dM)
+    ur = dMr @ vr - dMi @ vi
+    ui = dMr @ vi + dMi @ vr
+    ur, ui = _apply_qH(Vr, Vi, tau_r, tau_i, ur, ui)
+    den = ur[n - 1] + 1j * ui[n - 1]
+    Rnn = Rr[n - 1, n - 1] + 1j * Ri[n - 1, n - 1]
+    return -Rnn / den
+
+
 def null_space_vector(M, force_real_embedding: bool = False,
                       method: str | None = None):
     """Null-space (least-singular right-singular) vector of M, conjugated to

@@ -401,22 +401,30 @@ def newton_trace_step(p, grid, coeff, state: EigenState, quad=None,
 def newton_qr_secant_step(p, grid, coeff, state: EigenState, quad=None,
                           chunk: int = 2048, tiers=None,
                           fused: bool = False) -> EigenState:
-    """The reference's alternative "QRSecant" iteration (solver.h:210-383)
-    re-derived TPU-first.
+    """The reference's "QRSecant" iteration (solver.h:210-383), the TRUE
+    trajectory: column-pivoted QR M P = Q R (zgeqp3 there; a lax.scan
+    Businger-Golub Householder sweep on (re, im) planes here,
+    ``linalg.qr_column_pivoted``), approximate null vector
+    v = P [-R_11^{-1} r; 1] so that M v = R_nn q_n, and
 
-    The reference runs a column-pivoted QR, builds the approximate null
-    vector v from the R factor, and updates d_omega = -R_nn / (Q^H dM v)_n
-    -- a bordered Newton step on the smallest singular pair, with
-    M v = R_nn q_n.  Column-pivoted QR has no TPU kernel, so the same
-    update is computed from the null pair directly: v by inverse iteration,
-    left vector u = conj(v) (M is complex symmetric, so M^T = M), giving
+        d_omega = -R_nn / (Q^H dM v)_n.
 
-        d_omega = -(v^T M v) / (v^T dM v),
+    Walks the reference's basin step for step (same pivoting rule; the
+    update is invariant to the Householder phase convention)."""
+    d_omega = linalg.qr_secant_delta(state.M, state.dM)
+    omega = state.omega + d_omega
+    M_new = assemble_matrix(p, grid, coeff, omega, quad, chunk, tiers, fused)
+    dM = (M_new - state.M) / d_omega
+    return EigenState(omega=omega, d_omega=d_omega, M=M_new, dM=dM)
 
-    which agrees with the QR form as v, q_n approach the singular
-    directions.  Same fixed points; comparable step counts (tested against
-    the golden trajectories).
-    """
+
+def newton_bordered_step(p, grid, coeff, state: EigenState, quad=None,
+                         chunk: int = 2048, tiers=None,
+                         fused: bool = False) -> EigenState:
+    """Bordered-Newton update on the smallest singular pair -- the cheaper
+    TPU-first analogue of the QR-secant step (same fixed points, smaller
+    basin): v by inverse iteration, left vector conj(v) (M is complex
+    symmetric), d_omega = -(v^T M v) / (v^T dM v)."""
     v = linalg.null_space_vector(state.M, method="inverse")
     num = linalg.complex_bilinear(v, state.M)
     den = linalg.complex_bilinear(v, state.dM)
@@ -425,6 +433,11 @@ def newton_qr_secant_step(p, grid, coeff, state: EigenState, quad=None,
     M_new = assemble_matrix(p, grid, coeff, omega, quad, chunk, tiers, fused)
     dM = (M_new - state.M) / d_omega
     return EigenState(omega=omega, d_omega=d_omega, M=M_new, dM=dM)
+
+
+_STEP_FNS = {"TraceSecant": newton_trace_step,
+             "QRSecant": newton_qr_secant_step,
+             "BorderedSecant": newton_bordered_step}
 
 
 @jax.jit
@@ -465,8 +478,7 @@ def _traced_solve_fn(method: str, quad, chunk: int, cdtype, tiers=None,
     key = ("traced", method, qkey, chunk, jnp.dtype(cdtype).name, tiers,
            fused, need_vec)
     if key not in _SOLVE_JIT_CACHE:
-        step_fn = newton_trace_step if method == "TraceSecant" \
-            else newton_qr_secant_step
+        step_fn = _STEP_FNS[method]
 
         def run(p, grid, coeff, re, im, tol, max_steps):
             omega0 = (re + 1j * im).astype(cdtype)
@@ -505,8 +517,7 @@ def _solve_fns(method: str, quad, chunk: int, cdtype, tiers=None,
     qkey = tuple(sorted(quad.items())) if quad else None
     key = (method, qkey, chunk, jnp.dtype(cdtype).name, tiers, fused)
     if key not in _SOLVE_JIT_CACHE:
-        step_fn = newton_trace_step if method == "TraceSecant" \
-            else newton_qr_secant_step
+        step_fn = _STEP_FNS[method]
         step = jax.jit(partial(step_fn, quad=quad, chunk=chunk, tiers=tiers,
                                fused=fused))
         # complex host->device transfers are unsupported on TPU: ship
@@ -653,10 +664,12 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
     """Full eigen solve: returns (omega, eigenvector, n_steps, state).
 
     Convergence: |d_omega| < tol * |omega| within iteration_step_limit steps
-    (main.cpp:43-57).  ``method``: "TraceSecant" (default) or the QR-secant
-    variant, selected like main.cpp:45-49.  ``host64=True`` appends the
-    hybrid-precision polish (device assembly + host complex128 linalg) --
-    the way to reach the reference's 1e-6 tolerance on a TPU without f64.
+    (main.cpp:43-57).  ``method``: "TraceSecant" (default) or "QRSecant"
+    (the reference's true column-pivoted QR trajectory), selected like
+    main.cpp:45-49; "BorderedSecant" is the cheaper smallest-singular-pair
+    analogue.  ``host64=True`` appends the hybrid-precision polish (device
+    assembly + host complex128 linalg) -- the way to reach the reference's
+    1e-6 tolerance on a TPU without f64.
 
     ``loop``: "device" runs the fully-traced variant -- init +
     ``lax.while_loop`` Newton iteration (+ nullspace) as one compiled
