@@ -49,9 +49,11 @@ def main():
     p = from_config(cfg, dtype=dtype)
 
     chunk = 16384   # dispatch-overhead plateau measured in BENCH_ASSEMBLY.md
-    # Warm-up solve triggers all compilation (cached persistently).
+    # Warm-up solves trigger all compilation (cached persistently) for BOTH
+    # timed paths (the host64 variant compiles its own traced loop).
     print("warm-up (compilation)...", file=sys.stderr, flush=True)
     eigen.solve(p, -0.8 + 0.25j, tol=1e-5, chunk=chunk)
+    eigen.solve(p, -0.8 + 0.25j, tol=1e-6, chunk=chunk, host64=True)
 
     # Timed: full solve = init (2 assemblies) + iterations + nullspace.
     # (f32 solves auto-enable the |d_eta|-tiered panel meshes.)
@@ -62,7 +64,9 @@ def main():
     rel_err = abs(om - GOLDEN) / abs(GOLDEN)
     print(f"eigenvalue {om} steps {nsteps} rel_err_vs_reference {rel_err:.3g}",
           file=sys.stderr, flush=True)
-    assert rel_err < 5e-4, f"accuracy regression: {rel_err}"
+    # pure-f32 fused+tiered device loop converges to ~1.4e-6 of the f64
+    # golden since the exact-node-synthesis fix (STEL_VALIDATION.md round 3)
+    assert rel_err < 1e-4, f"accuracy regression: {rel_err}"
 
     # secondary: the reference's own 1e-6 criterion via the hybrid polish
     # (device f32 assembly + host complex128 bordered Newton)

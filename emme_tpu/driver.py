@@ -140,6 +140,7 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
                 m_krylov=int(cfg.get("m_krylov", 0)),
                 method=method,
                 tiered=cfg.get("quad_tiered"),
+                spmv=cfg.get("spmv_method"),
                 stats=stats)
             M_dump = state.M
         elif backend == "dense" and mesh is not None:

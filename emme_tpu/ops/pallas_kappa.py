@@ -58,28 +58,29 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _static_tables(n_panels: int, order: int):
-    """Static selector/abscissa/weight tables for a panel mesh.
+    """Static abscissa/weight tables for a panel mesh, laid out GROUP-MAJOR:
+    node (g, p) lives at lane g * PP + p, so the per-pair panel rows expand
+    to node lanes by an exact ``pltpu.repeat`` tile (mid value of panel p
+    lands at every g * PP + p) -- no selector matmul (the MXU's bf16 f32
+    passes would perturb node positions by ~1e-3).
 
-    Returns (PP, NN, sel, x_full, wk_full, wg_full): panels padded to PP
-    rows, nodes grouped GROUP = order+1 per panel (last lane of each group
-    is padding with zero weight), NN = PP * GROUP padded to a lane multiple.
+    Returns (PP, NN, x_full, wk_full, wg_full): panels padded to PP
+    columns, GROUP = order + 1 tiles (tile g = order is padding; panel
+    columns >= n_panels carry zero weight), NN = PP * GROUP.
     """
     x, wk, wg = quadrature.gk_rule(order)
     group = order + 1
     pp = _round_up(n_panels, max(8, 128 // group))
     nn = pp * group
     assert nn % 128 == 0, (pp, group)
-    sel = np.zeros((pp, nn), np.float32)
     x_full = np.zeros((nn,), np.float32)
     wk_full = np.zeros((nn,), np.float32)
     wg_full = np.zeros((nn,), np.float32)
-    for p_i in range(n_panels):
-        lo = p_i * group
-        sel[p_i, lo:lo + group] = 1.0
-        x_full[lo:lo + order] = x
-        wk_full[lo:lo + order] = wk
-        wg_full[lo:lo + order] = wg
-    return pp, nn, sel, x_full, wk_full, wg_full
+    for g in range(order):
+        x_full[g * pp:g * pp + n_panels] = x[g]
+        wk_full[g * pp:g * pp + n_panels] = wk[g]
+        wg_full[g * pp:g * pp + n_panels] = wg[g]
+    return pp, nn, x_full, wk_full, wg_full
 
 
 # ---------------------------------------------------------------------------
@@ -197,14 +198,14 @@ def _bessel_i01_scaled_ri(zr, zi):
 # ---------------------------------------------------------------------------
 
 def _kappa_kernel(scal_ref, mid_ref, halfw_ref, pair_ref,
-                  sel_ref, x_ref, wk_ref, out_ref, *, ms):
+                  x_ref, wk_ref, out_ref, *, ms, group):
     """One TILE_P-pair tile: build nodes, evaluate the integrand chain,
     reduce with the Kronrod weights.
 
     scal: (1, 8) SMEM [om_r, om_i, arc, qR, vt, ws_i, eta_i, pad]
     mid/halfw: (TILE_P, PP) panel centers / half-widths
     pair: (TILE_P, 4) [d_eta, beta1, bi_a, bi_b]
-    sel: (PP, NN) static panel selector; x/wk: (1, NN) static node tables
+    x/wk: (1, NN) static node tables (NN = PP * group)
     out: (TILE_P, 2 * len(ms))
     """
     om_r = scal_ref[0, 0]
@@ -215,9 +216,11 @@ def _kappa_kernel(scal_ref, mid_ref, halfw_ref, pair_ref,
     ws_i = scal_ref[0, 5]
     eta_i = scal_ref[0, 6]
 
-    sel = sel_ref[:]
-    mid_n = jnp.dot(mid_ref[:], sel, preferred_element_type=jnp.float32)
-    hw_n = jnp.dot(halfw_ref[:], sel, preferred_element_type=jnp.float32)
+    # panel -> node-group expansion by EXACT lane repetition (an earlier
+    # one-hot selector matmul ran bf16 MXU passes, perturbing node
+    # positions -- and the near-diagonal operator entries -- by ~1e-3)
+    mid_n = pltpu.repeat(mid_ref[:], group, axis=1)
+    hw_n = pltpu.repeat(halfw_ref[:], group, axis=1)
     x = x_ref[0, :][None, :]
     wk = wk_ref[0, :][None, :] * hw_n
     # node positions; pad lanes land at t = mid (weight 0), clamped positive
@@ -335,7 +338,7 @@ def _kappa_pairs_call(p, d_eta, beta1, bi_a, bi_b, om_r, om_i, *,
                       ms, n_shoulder, n_osc, n_tail, order,
                       interpret=False):
     n_panels = n_shoulder + n_osc + n_tail
-    pp, nn, sel, x_full, wk_full, _wg = _tables(n_panels, order)
+    pp, nn, x_full, wk_full, _wg = _tables(n_panels, order)
     npairs = d_eta.shape[0]
     npad = _round_up(npairs, TILE_P)
 
@@ -364,7 +367,7 @@ def _kappa_pairs_call(p, d_eta, beta1, bi_a, bi_b, om_r, om_i, *,
 
     grid = (npad // TILE_P,)
     out = pl.pallas_call(
-        partial(_kappa_kernel, ms=ms),
+        partial(_kappa_kernel, ms=ms, group=order + 1),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0),
@@ -374,8 +377,6 @@ def _kappa_pairs_call(p, d_eta, beta1, bi_a, bi_b, om_r, om_i, *,
             pl.BlockSpec((TILE_P, pp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_P, 4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((pp, nn), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nn), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -389,7 +390,7 @@ def _kappa_pairs_call(p, d_eta, beta1, bi_a, bi_b, om_r, om_i, *,
         cost_estimate=pl.CostEstimate(
             flops=500 * npad * nn, transcendentals=8 * npad * nn,
             bytes_accessed=npad * (2 * pp + 4 + 2 * len(ms)) * 4),
-    )(scal, mid, halfw, pair, jnp.asarray(sel), jnp.asarray(x_full)[None, :],
+    )(scal, mid, halfw, pair, jnp.asarray(x_full)[None, :],
       jnp.asarray(wk_full)[None, :])
     return out[:npairs]
 

@@ -231,6 +231,54 @@ def bdia_from_dense(M, block: int = DEFAULT_BLOCK, threshold: float = 0.0):
                         n=n, block=block)
 
 
+def bdia_to_bsr(op: BDIAOperator) -> BSROperator:
+    """BDIA -> BSR: static structure from the offsets (row-major block
+    order, as the Pallas SpMV kernel's accumulator residency expects), one
+    device gather for the data.  Zero-padded BDIA blocks (outside the
+    matrix) are simply not referenced."""
+    nb = op.n // op.block
+    rows_l, cols_l, diag_l = [], [], []
+    for i in range(nb):
+        for k, d in enumerate(op.offsets):
+            j = i + d
+            if 0 <= j < nb:
+                rows_l.append(i)
+                cols_l.append(j)
+                diag_l.append(k)
+    row_of = np.asarray(rows_l, np.int32)
+    col_idx = np.asarray(cols_l, np.int32)
+    diag_of = np.asarray(diag_l, np.int32)
+    row_ptr = np.zeros(nb + 1, np.int32)
+    np.add.at(row_ptr[1:], row_of, 1)
+    row_ptr = np.cumsum(row_ptr).astype(np.int32)
+    data = op.data[diag_of, row_of]            # (nnzb, 2, bs, bs)
+    return BSROperator(data=data, col_idx=jnp.asarray(col_idx),
+                       row_of=jnp.asarray(row_of),
+                       row_ptr=jnp.asarray(row_ptr),
+                       n=op.n, block=op.block)
+
+
+def pick_spmv(op: BDIAOperator, method: str | None = None):
+    """Select the SpMV route for a banded operator and return
+    (matvec(xr, xi) -> (yr, yi), name).
+
+    ``method``: "bdia" (batched-einsum block-diagonal contraction),
+    "bsr" (the Pallas BSR kernel), or None = auto: the Pallas kernel wins
+    on TPU for big blocks (1.73x at bs=256, BENCH_SPMV.md) where each grid
+    step's (bs, bs) tile amortizes its DMA; the BDIA einsums win at the
+    default bs=128 where the whole band contracts as a few fused MXU calls.
+    """
+    if method is None:
+        method = "bsr" if (op.block >= 256
+                           and jax.default_backend() == "tpu") else "bdia"
+    if method == "bdia":
+        return (lambda xr, xi: bdia_matvec(op, xr, xi)), "bdia"
+    if method == "bsr":
+        bsr = bdia_to_bsr(op)
+        return (lambda xr, xi: bsr_matvec_pallas(bsr, xr, xi)), "bsr"
+    raise ValueError(f"spmv method must be 'bdia' or 'bsr', got {method!r}")
+
+
 def bdia_matvec(op: BDIAOperator, xr, xi):
     """Block-DIA complex matvec on planes: y = A x.
 

@@ -540,8 +540,17 @@ def host64_polish(p, grid, coeff, state: EigenState, tol: float,
     while f32 ASSEMBLY rounding is harmless (validated: f32-assembled
     operators converge to within 8e-6 of the f64 golden when the linalg is
     f64).  So after the device loop, keep assembling on the TPU but run the
-    trace-secant update in numpy complex128 on the host; the null vector
-    comes from inverse iteration on the host LU.  Returns
+    bordered-secant update in numpy complex128 on the host.
+
+    The null vector v is expensive (one O(n^3) host LU per refresh -- ~5 s
+    at the electromagnetic dim 2048 on a 2-core host) but the bilinear
+    zero of g(omega) = v^T M(omega) v is QUADRATICALLY insensitive to v
+    error (v is a stationary point of the complex-symmetric Rayleigh
+    quotient), so the secant loop keeps v FROZEN and only refreshes it --
+    with a fresh LU + inverse iteration -- when the loop first signals
+    convergence, then re-verifies the criterion with the refreshed v.
+    2 LUs total instead of one per step: the stel1024 polish drops from
+    ~52 s to ~15 s at the same fixed point (BENCH_STEL.md).  Returns
     (omega, eigenvector, extra_steps).
     """
     import scipy.linalg
@@ -550,7 +559,8 @@ def host64_polish(p, grid, coeff, state: EigenState, tol: float,
 
     assemble = _assemble_fns(quad, chunk, grid.eta.dtype, tiers, fused)
 
-    def null_vec(lu):
+    def null_vec(M):
+        lu = scipy.linalg.lu_factor(M)
         rng = np.random.default_rng(0)
         v = rng.normal(size=M.shape[0]) + 1j * rng.normal(size=M.shape[0])
         for _ in range(3):
@@ -561,18 +571,15 @@ def host64_polish(p, grid, coeff, state: EigenState, tol: float,
     omega = fetch_complex(state.omega)
     M = fetch(state.M).astype(np.complex128)
     dM = fetch(state.dM).astype(np.complex128)
+    v = null_vec(M)
+    refreshed = False
     steps = 0
-    v = None
     for _ in range(max_steps):
-        # bordered-Newton update on the smallest singular pair (the host
-        # form of newton_qr_secant_step): one LU + O(n^2) per step, vs the
-        # O(n^3) multi-RHS back-substitution a full trace solve would cost
-        lu = scipy.linalg.lu_factor(M)
-        v = null_vec(lu)
         d_omega = -(v @ (M @ v)) / (v @ (dM @ v))
         omega = omega + d_omega
         steps += 1
-        if abs(d_omega) < tol * abs(omega):
+        converged = abs(d_omega) < tol * abs(omega)
+        if converged and refreshed:
             break
         M_new = fetch(assemble(p, grid, coeff,
                                jnp.asarray(omega.real, grid.eta.dtype),
@@ -580,11 +587,14 @@ def host64_polish(p, grid, coeff, state: EigenState, tol: float,
                       ).astype(np.complex128)
         dM = (M_new - M) / d_omega
         M = M_new
-        v = None
+        if converged:
+            # refresh v on the converged (near-singular) operator and let
+            # the next pass re-verify the criterion with it
+            v = null_vec(M)
+            refreshed = True
 
-    # null vector by inverse iteration on the final (near-singular) LU
-    if v is None:
-        v = null_vec(scipy.linalg.lu_factor(M))
+    if not refreshed:  # step limit hit before a confirming pass
+        v = null_vec(M)
     return omega, v, steps
 
 

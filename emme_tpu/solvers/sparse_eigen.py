@@ -541,14 +541,19 @@ def init_state(p, grid, coeff_band, omega_init, h, block, quad=None,
     return SparseEigenState(omega=omega, d_omega=d_omega, M=M, dM=dM)
 
 
-def arnoldi_estimate(state: SparseEigenState, m_krylov: int):
+def arnoldi_estimate(state: SparseEigenState, m_krylov: int,
+                     spmv: str | None = None):
     """Jittable core of the shift-invert stage: banded LU of M(sigma) and an
-    m-step Arnoldi factorization of B = M^{-1} M', whose matvec is
-    bdia_matvec (MXU SpMV) + banded triangular solves."""
+    m-step Arnoldi factorization of B = M^{-1} M', whose matvec is the
+    banded SpMV (``pick_spmv``: BDIA einsums, or the Pallas BSR kernel for
+    big blocks) + banded triangular solves."""
+    from ..ops.sparse import pick_spmv
+
     lu = banded.banded_lu(state.M)
+    mv, _ = pick_spmv(state.dM, spmv)
 
     def solve_B(xr, xi):
-        wr, wi = bdia_matvec(state.dM, xr, xi)
+        wr, wi = mv(xr, xi)
         return banded.banded_solve(lu, wr, wi)
 
     V, H = arnoldi_factorization(solve_B, state.M.n, m_krylov,
@@ -604,15 +609,18 @@ def host64_polish_banded(p, grid, coeff_band, state: SparseEigenState,
     # device assembly via the jitted (re, im)-input wrapper: eager complex
     # scalar ops (even omega construction) are unimplemented on TPU
     assemble = _assemble_jit(h, block, quad, chunk, grid.eta.dtype, tiers)
+    # frozen-v bordered secant (see eigen.host64_polish): the bilinear zero
+    # is quadratically insensitive to v error, so v refreshes only at the
+    # convergence signal -- 2 banded factorizations instead of one per step
+    v = null_vec(spla.splu(A, permc_spec="NATURAL"), A.shape[0])
+    refreshed = False
     steps = 0
-    v = None
     for _ in range(max_steps):
-        lu = spla.splu(A, permc_spec="NATURAL")
-        v = null_vec(lu, A.shape[0])
         d_omega = -(v @ (A @ v)) / (v @ (dA @ v))
         omega = omega + d_omega
         steps += 1
-        if abs(d_omega) < tol * abs(omega):
+        converged = abs(d_omega) < tol * abs(omega)
+        if converged and refreshed:
             break
         M_new = assemble(p, grid, coeff_band,
                          jnp.asarray(omega.real, grid.eta.dtype),
@@ -620,8 +628,10 @@ def host64_polish_banded(p, grid, coeff_band, state: SparseEigenState,
         A_new = to_csc(M_new)
         dA = (A_new - A) / d_omega
         A = A_new
-        v = None
-    if v is None:
+        if converged:
+            v = null_vec(spla.splu(A, permc_spec="NATURAL"), A.shape[0])
+            refreshed = True
+    if not refreshed:
         v = null_vec(spla.splu(A, permc_spec="NATURAL"), A.shape[0])
     return omega, v, steps
 
@@ -710,7 +720,44 @@ def _fns(h, block, quad, chunk, dtype, method: str = "TraceSecant",
         step = jax.jit(partial(step_fn, h=h, block=block,
                                quad=quad, chunk=chunk, tiers=tiers))
         _JIT_CACHE[key] = (init, step, jax.jit(
-            arnoldi_estimate, static_argnames=("m_krylov",)))
+            arnoldi_estimate, static_argnames=("m_krylov", "spmv")))
+    return _JIT_CACHE[key]
+
+
+def _traced_fn(h, block, quad, chunk, dtype, method, tiers):
+    """Fully-traced sparse solve: init + ``lax.while_loop`` Newton iteration
+    as ONE program, convergence test on device (one host sync per solve --
+    the sparse twin of eigen._traced_solve_fn)."""
+    qkey = tuple(sorted(quad.items())) if quad else None
+    key = ("traced", h, block, qkey, chunk, jnp.dtype(dtype).name, method,
+           tiers)
+    if key not in _JIT_CACHE:
+        cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        step_fn = trace_newton_step if method == "TraceSecant" \
+            else bordered_newton_step
+
+        def run(p, g, cb, re, im, tol, max_steps):
+            state = init_state(p, g, cb, (re + 1j * im).astype(cdtype),
+                               h, block, quad, chunk, tiers)
+
+            def cond(carry):
+                state, j, done = carry
+                return jnp.logical_and(j < max_steps,
+                                       jnp.logical_not(done))
+
+            def body(carry):
+                state, j, _ = carry
+                state = step_fn(p, g, cb, state, h=h, block=block,
+                                quad=quad, chunk=chunk, tiers=tiers)
+                done = jnp.abs(state.d_omega) < tol * jnp.abs(state.omega)
+                return state, j + 1, done
+
+            state, n_steps, _ = jax.lax.while_loop(
+                cond, body,
+                (state, jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+            return state, n_steps
+
+        _JIT_CACHE[key] = jax.jit(run)
     return _JIT_CACHE[key]
 
 
@@ -718,7 +765,8 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
           chunk: int = 16384, dtype=None, band_deta: float | None = None,
           block: int | None = None, m_krylov: int = 0,
           host64: bool = False, stats: dict | None = None,
-          method: str = "TraceSecant", tiered: bool | None = None):
+          method: str = "TraceSecant", tiered: bool | None = None,
+          spmv: str | None = None, loop: str | None = None):
     """Sparse end-to-end eigensolve.  Returns (omega, eigenvector, steps,
     state); optionally fills ``stats`` with SpMV/assembly metrics.
 
@@ -731,6 +779,15 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
     initial guess is far or several modes are wanted); the Newton iteration
     then polishes to the reference criterion |d_omega| < tol * |omega|
     (main.cpp:53-56).
+
+    ``spmv``: "bdia" | "bsr" | None (auto) -- the SpMV route for the
+    Arnoldi matvecs and the reported nnz/s stat (ops.sparse.pick_spmv: the
+    Pallas BSR kernel is auto-selected on TPU for block >= 256 where it
+    beats the BDIA einsums by 1.73x, BENCH_SPMV.md).
+
+    ``loop``: "device" runs the fully-traced lax.while_loop Newton
+    iteration (one host sync per solve; default on TPU), "host" the
+    host-driven loop.
     """
     tol = tol if tol is not None else 1e-6
     dtype = dtype if dtype is not None else jnp.asarray(p.length).dtype
@@ -752,14 +809,21 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
 
     init, step, arnoldi_jit = _fns(h, block, quad, chunk, dtype, method,
                                    tiers)
+    if loop is None:
+        loop = "device" if jax.default_backend() == "tpu" else "host"
+    if loop not in ("host", "device"):
+        raise ValueError(f"loop must be 'host' or 'device', got {loop!r}")
     omega_init = complex(omega_init)
-    state = init(p, grid, coeff_band,
-                 jnp.asarray(omega_init.real, dtype),
-                 jnp.asarray(omega_init.imag, dtype))
+    seed = omega_init
+    state = None
+    if loop == "host" or m_krylov:
+        state = init(p, grid, coeff_band,
+                     jnp.asarray(omega_init.real, dtype),
+                     jnp.asarray(omega_init.imag, dtype))
 
     if m_krylov:
         t0 = time.time()
-        _V, (Hr, Hi) = arnoldi_jit(state, m_krylov=m_krylov)
+        _V, (Hr, Hi) = arnoldi_jit(state, m_krylov=m_krylov, spmv=spmv)
         jax.block_until_ready(Hr)
         t_arnoldi = time.time() - t0
         omegas, _ = ritz_from_hessenberg(
@@ -767,21 +831,33 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
         est = complex(omegas[0])
         if np.isfinite(est.real) and np.isfinite(est.imag):
             # re-seed the Newton polish from the Arnoldi estimate
-            state = init(p, grid, coeff_band,
-                         jnp.asarray(est.real, dtype),
-                         jnp.asarray(est.imag, dtype))
+            seed = est
+            if loop == "host":
+                state = init(p, grid, coeff_band,
+                             jnp.asarray(est.real, dtype),
+                             jnp.asarray(est.imag, dtype))
         if stats is not None:
             stats["arnoldi_s"] = t_arnoldi
             stats["arnoldi_omega"] = est
 
     dev_tol = max(tol, 2e-4) if host64 else tol
-    n_steps = 0
-    for j in range(p.iteration_step_limit + 1):
-        state = step(p, grid, coeff_band, state)
-        n_steps = j + 1
-        if abs(eigen_mod.fetch_complex(state.d_omega)) < \
-                dev_tol * abs(eigen_mod.fetch_complex(state.omega)):
-            break
+    if loop == "device":
+        run = _traced_fn(h, block, quad, chunk, dtype, method, tiers)
+        state, n_dev = run(p, grid, coeff_band,
+                           jnp.asarray(seed.real, dtype),
+                           jnp.asarray(seed.imag, dtype),
+                           jnp.asarray(dev_tol, dtype),
+                           jnp.asarray(p.iteration_step_limit + 1,
+                                       jnp.int32))
+        n_steps = int(n_dev)
+    else:
+        n_steps = 0
+        for j in range(p.iteration_step_limit + 1):
+            state = step(p, grid, coeff_band, state)
+            n_steps = j + 1
+            if abs(eigen_mod.fetch_complex(state.d_omega)) < \
+                    dev_tol * abs(eigen_mod.fetch_complex(state.omega)):
+                break
 
     if stats is not None:
         stats["nnz"] = state.M.nnz
@@ -795,12 +871,17 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
         # otherwise swamp small operators, and block_until_ready does not
         # drain the queue there -- the scalar fetch at the end does.
         reps = 50
+        from ..ops.sparse import pick_spmv
+        mv, route = pick_spmv(state.M, spmv)
+        stats["spmv_route"] = route
 
         @jax.jit
         def mv_chain(M, xr, xi):
+            mv_j, _ = pick_spmv(M, route)
+
             def body(_, c):
                 xr, xi = c
-                yr, yi = bdia_matvec(M, xr, xi)
+                yr, yi = mv_j(xr, xi)
                 nrm = jnp.sqrt(jnp.sum(yr * yr + yi * yi)) + 1e-30
                 return yr / nrm, yi / nrm
             xr, xi = jax.lax.fori_loop(0, reps, body, (xr, xi))

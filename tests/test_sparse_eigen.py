@@ -219,3 +219,50 @@ def test_solve_shifts_banded_multishift(golden_eigenvalues, tokamak_cfg):
         assert abs(om - ref) / abs(ref) < 2e-6
         assert vec is not None and len(vec) == 32
         assert steps > 0
+
+
+def test_bdia_to_bsr_matvec_parity(tokamak_cfg):
+    # the promoted Pallas BSR route must reproduce the BDIA einsum SpMV on
+    # the production operator (A/B parity for ops.sparse.pick_spmv)
+    from emme_tpu.ops.sparse import bdia_matvec, bdia_to_bsr, pick_spmv
+
+    cfg = dict(tokamak_cfg, npoints=64)
+    p = from_config(cfg)
+    grid = Grid.create(p.length, p.npoints)
+    h, bs = 3, 8
+    cband = singularity_coeff_band(p.npoints, (h + 1) * bs - 1)
+    op = sparse_eigen.assemble_bdia(p, grid, cband, -0.8 + 0.25j, h, bs,
+                                    quad={"n_shoulder": 8, "n_osc": 16,
+                                          "n_tail": 4})
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.normal(size=op.n))
+    xi = jnp.asarray(rng.normal(size=op.n))
+    yr0, yi0 = bdia_matvec(op, xr, xi)
+    mv, route = pick_spmv(op, "bsr")
+    assert route == "bsr"
+    yr1, yi1 = mv(xr, xi)
+    scale = float(jnp.abs(yr0).max())
+    np.testing.assert_allclose(np.asarray(yr1), np.asarray(yr0), rtol=0,
+                               atol=1e-12 * scale)
+    np.testing.assert_allclose(np.asarray(yi1), np.asarray(yi0), rtol=0,
+                               atol=1e-12 * scale)
+    # conversion inventory: every in-matrix block present exactly once
+    bsr = bdia_to_bsr(op)
+    nb = op.n // op.block
+    assert bsr.nnzb == sum(nb - abs(d) for d in op.offsets)
+
+
+def test_sparse_solve_device_loop_matches_host(tokamak_cfg,
+                                               golden_eigenvalues):
+    cfg = dict(tokamak_cfg, npoints=32)
+    p = from_config(cfg)
+    kw = dict(tol=1e-6, block=8, band_deta=20.0)
+    om_h, vec_h, n_h, _ = sparse_eigen.solve(p, -0.8 + 0.25j, loop="host",
+                                             **kw)
+    om_d, vec_d, n_d, _ = sparse_eigen.solve(p, -0.8 + 0.25j, loop="device",
+                                             **kw)
+    assert n_d == n_h
+    assert abs(om_d - om_h) / abs(om_h) < 1e-12
+    corr = abs(np.vdot(vec_h, vec_d)) / (
+        np.linalg.norm(vec_h) * np.linalg.norm(vec_d))
+    assert corr > 1 - 1e-10
