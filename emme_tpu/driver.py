@@ -129,6 +129,7 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
                 band_deta=cfg.get("band_deta"),
                 block=cfg.get("band_block"),
                 tiered=cfg.get("quad_tiered"),
+                fused=cfg.get("fused_assembly"),
                 stats=stats)
         elif backend == "sparse":
             # block-banded end-to-end path: the dense operator never exists
@@ -141,6 +142,7 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
                 method=method,
                 tiered=cfg.get("quad_tiered"),
                 spmv=cfg.get("spmv_method"),
+                fused=cfg.get("fused_assembly"),
                 stats=stats)
             M_dump = state.M
         elif backend == "dense" and mesh is not None:

@@ -248,7 +248,8 @@ def _data_spec():
 
 def sharded_assemble_bdia(p, grid: Grid, coeff_band, omega, h: int,
                           block: int, mesh: Mesh, quad=None,
-                          chunk: int = 4096, tiers=None) -> BDIAOperator:
+                          chunk: int = 4096, tiers=None,
+                          fused: bool = False) -> BDIAOperator:
     """Mesh-sharded direct-to-BDIA assembly: every shard evaluates only the
     kernel integrals for ITS block rows (+ halo) and builds them in place.
     Returns a BDIAOperator whose ``data`` is sharded on the block-row axis."""
@@ -261,7 +262,8 @@ def sharded_assemble_bdia(p, grid: Grid, coeff_band, omega, h: int,
     def shard_fn(cb):
         s = jax.lax.axis_index("rows")
         return se.assemble_bdia_window(p, grid, cb, omega, h, block,
-                                       s * nbl, nbl, quad, chunk, tiers)
+                                       s * nbl, nbl, quad, chunk, tiers,
+                                       fused)
 
     data = shard_map(shard_fn, mesh=mesh, in_specs=(P(None, None),),
                      out_specs=_data_spec(), check_vma=False)(coeff_band)
@@ -363,15 +365,17 @@ def _secant(op_new: BDIAOperator, op_old: BDIAOperator, dr, di):
 _SHARDED_JIT: dict = {}
 
 
-def _sharded_fns(mesh, h, block, quad, chunk, dtype, tiers):
+def _sharded_fns(mesh, h, block, quad, chunk, dtype, tiers,
+                 fused: bool = False):
     qkey = tuple(sorted(quad.items())) if quad else None
-    key = (id(mesh), h, block, qkey, chunk, jnp.dtype(dtype).name, tiers)
+    key = (id(mesh), h, block, qkey, chunk, jnp.dtype(dtype).name, tiers,
+           fused)
     if key not in _SHARDED_JIT:
         def assemble(p, grid, cb, re, im):
             om = (re + 1j * im).astype(
                 jnp.complex128 if dtype == jnp.float64 else jnp.complex64)
             return sharded_assemble_bdia(p, grid, cb, om, h, block, mesh,
-                                         quad, chunk, tiers)
+                                         quad, chunk, tiers, fused)
 
         def init(p, grid, cb, re, im):
             M_old = assemble(p, grid, cb, 0.99 * re, 0.99 * im)
@@ -394,7 +398,8 @@ def _sharded_fns(mesh, h, block, quad, chunk, dtype, tiers):
 def solve(p, omega_init, mesh: Mesh, tol: float | None = None, quad=None,
           chunk: int = 16384, dtype=None, band_deta: float | None = None,
           block: int | None = None, tiered: bool | None = None,
-          stats: dict | None = None, host64: bool = False):
+          stats: dict | None = None, host64: bool = False,
+          fused: bool | None = None):
     """Distributed sparse eigensolve: the whole Newton-trace step --
     assembly, banded factorization, exact trace, secant update -- runs
     sharded over ``mesh``'s ``rows`` axis.  Semantics (seeding, iteration,
@@ -427,9 +432,11 @@ def solve(p, omega_init, mesh: Mesh, tol: float | None = None, quad=None,
     if tiered:
         dxf = 2.0 * float(p.length) / (p.npoints - 1)
         tiers = se.kernels.tier_thresholds_ij(dxf, p.npoints)
+    if fused is None:
+        fused = dtype == jnp.float32 and jax.default_backend() == "tpu"
 
     init, step, nullspace = _sharded_fns(mesh, h, block, quad, chunk, dtype,
-                                         tiers)
+                                         tiers, fused)
     omega = complex(omega_init)
     dev_tol = max(tol, 2e-4) if host64 else tol
     d_omega = 0.01 * omega
@@ -461,7 +468,7 @@ def solve(p, omega_init, mesh: Mesh, tol: float | None = None, quad=None,
         state = se.SparseEigenState(omega=omega, d_omega=d_omega, M=M, dM=dM)
         omega, vec, extra = se.host64_polish_banded(
             p, grid, coeff_band, state, tol, h, block, quad=quad,
-            chunk=chunk, tiers=tiers)
+            chunk=chunk, tiers=tiers, fused=fused)
         if p.electromagnetic:
             vec = se.deinterleave(vec)
         return omega, vec, n_steps + extra, M

@@ -122,7 +122,8 @@ def _cdot_bilinear(vr, vi, wr, wi):
 # ---------------------------------------------------------------------------
 
 def assemble_bdia(p, grid: Grid, coeff_band, omega, h: int, block: int,
-                  quad=None, chunk: int = 4096, tiers=None) -> BDIAOperator:
+                  quad=None, chunk: int = 4096, tiers=None,
+                  fused: bool = False) -> BDIAOperator:
     """Assemble the electrostatic operator directly into BDIA block storage.
 
     Evaluates kernel integrals only for pairs in block diagonals 0..h (the
@@ -137,7 +138,7 @@ def assemble_bdia(p, grid: Grid, coeff_band, omega, h: int, block: int,
     """
     if p.electromagnetic:
         return _assemble_bdia_em(p, grid, coeff_band, omega, h, block,
-                                 quad, chunk, tiers)
+                                 quad, chunk, tiers, fused)
     n = grid.npoints
     bs = block
     nb = n // bs
@@ -155,7 +156,7 @@ def assemble_bdia(p, grid: Grid, coeff_band, omega, h: int, block: int,
     # de = 1..de_max, as a PADDED (de_max, n) grid (entries past the edge
     # clamp to a dummy finite pair and are never gathered in stage 2) ----
     T_r, T_i = _kernel_table(p, grid, omega, de_max, (0,), quad, chunk,
-                             tiers)
+                             tiers, fused=fused)
 
     diag_val = jnp.asarray(1.0 + 1.0 / p.tau, rdtype)
     # zero row 0 so adiff = 0 gathers produce 0 before the diagonal override
@@ -201,7 +202,8 @@ def assemble_bdia(p, grid: Grid, coeff_band, omega, h: int, block: int,
 
 
 def _kernel_table(p, grid, omega, de_max: int, ms, quad, chunk, tiers,
-                  electron: bool = False, i0=0, ncols: int | None = None):
+                  electron: bool = False, i0=0, ncols: int | None = None,
+                  fused: bool = False):
     """Ordered-pair kernel table over the PADDED (de, i) grid:
     row de - 1 holds kappa(eta_i, eta_{i + de}) for i = i0..i0+ncols-1
     (entries with i < 0 or i + de >= n evaluate a clamped dummy pair and
@@ -230,7 +232,12 @@ def _kernel_table(p, grid, omega, de_max: int, ms, quad, chunk, tiers,
 
         def compute(args):
             a, b = args
-            vals, _ = kernels.kappa_f_tau(p, a, b, omega, ms=ms, quad=q)
+            if fused:
+                from ..ops import pallas_kappa
+                vals = pallas_kappa.kappa_pairs_fused(p, a, b, omega,
+                                                      ms=ms, quad=q)
+            else:
+                vals, _ = kernels.kappa_f_tau(p, a, b, omega, ms=ms, quad=q)
             if electron:
                 vals = (vals[0],
                         vals[1] + kernels.kappa_f_tau_e(p, a, b, omega, 1),
@@ -266,8 +273,8 @@ def _kernel_table(p, grid, omega, de_max: int, ms, quad, chunk, tiers,
 
 
 def _assemble_bdia_em(p, grid: Grid, coeff_band, omega, h: int, block: int,
-                      quad=None, chunk: int = 4096,
-                      tiers=None) -> BDIAOperator:
+                      quad=None, chunk: int = 4096, tiers=None,
+                      fused: bool = False) -> BDIAOperator:
     """Electromagnetic direct-to-BDIA assembly in the INTERLEAVED ordering
     [phi_0, A_0, phi_1, A_1, ...] (matrix dim 2n).
 
@@ -302,7 +309,7 @@ def _assemble_bdia_em(p, grid: Grid, coeff_band, omega, h: int, block: int,
     de_max = em_de_max(n, h, bs)
 
     Tr, Ti = _kernel_table(p, grid, omega, de_max, (0, 1, 2), quad, chunk,
-                           tiers, electron=True)
+                           tiers, electron=True, fused=fused)
     zrow = jnp.zeros((1, n), rdtype)
     T0r, T1r, T2r = (jnp.concatenate([zrow, t]).reshape(-1) for t in Tr)
     T0i, T1i, T2i = (jnp.concatenate([zrow, t]).reshape(-1) for t in Ti)
@@ -361,7 +368,8 @@ def _assemble_bdia_em(p, grid: Grid, coeff_band, omega, h: int, block: int,
 
 def assemble_bdia_window(p, grid: Grid, coeff_band, omega, h: int,
                          block: int, row0, nbl: int, quad=None,
-                         chunk: int = 4096, tiers=None):
+                         chunk: int = 4096, tiers=None,
+                         fused: bool = False):
     """Block rows [row0, row0 + nbl) of the global BDIA operator, ALL 2h+1
     diagonals built directly (no transpose mirroring; crossing blocks
     INCLUDED -- the mesh-sharded SPIKE path masks/extracts them itself).
@@ -389,7 +397,7 @@ def assemble_bdia_window(p, grid: Grid, coeff_band, omega, h: int,
 
     ms = (0, 1, 2) if em else (0,)
     Tr, Ti = _kernel_table(p, grid, omega, de_max, ms, quad, chunk, tiers,
-                           electron=em, i0=i0, ncols=ncols)
+                           electron=em, i0=i0, ncols=ncols, fused=fused)
     zrow = jnp.zeros((1, ncols), rdtype)
     Tr = [jnp.concatenate([zrow, t]).reshape(-1) for t in Tr]
     Ti = [jnp.concatenate([zrow, t]).reshape(-1) for t in Ti]
@@ -486,7 +494,7 @@ def _null_vector(lu, n, dtype, iters: int = 2):
 
 def trace_newton_step(p, grid, coeff_band, state: SparseEigenState,
                       h: int, block: int, quad=None, chunk: int = 4096,
-                      tiers=None):
+                      tiers=None, fused: bool = False):
     """One Newton-trace-secant step on the banded operator
     (solver.h:113-160): d_omega = -1 / tr(M^{-1} dM), with the banded trace
     computed EXACTLY by block-Takahashi selected inversion -- only the
@@ -501,14 +509,14 @@ def trace_newton_step(p, grid, coeff_band, state: SparseEigenState,
     d_omega = -1.0 / tr
     omega = state.omega + d_omega
     M_new = assemble_bdia(p, grid, coeff_band, omega, h, block, quad, chunk,
-                          tiers)
+                          tiers, fused)
     dM = bdia_secant(M_new, state.M, d_omega)
     return SparseEigenState(omega=omega, d_omega=d_omega, M=M_new, dM=dM)
 
 
 def bordered_newton_step(p, grid, coeff_band, state: SparseEigenState,
                          h: int, block: int, quad=None, chunk: int = 4096,
-                         tiers=None):
+                         tiers=None, fused: bool = False):
     """One banded bordered-Newton (QR-secant analogue) step:
     d_omega = -(v^T M v) / (v^T dM v) with v by banded inverse iteration."""
     lu = banded.banded_lu(state.M)
@@ -522,21 +530,21 @@ def bordered_newton_step(p, grid, coeff_band, state: SparseEigenState,
     d_omega = -num / den
     omega = state.omega + d_omega
     M_new = assemble_bdia(p, grid, coeff_band, omega, h, block, quad, chunk,
-                          tiers)
+                          tiers, fused)
     dM = bdia_secant(M_new, state.M, d_omega)
     return SparseEigenState(omega=omega, d_omega=d_omega, M=M_new, dM=dM)
 
 
 def init_state(p, grid, coeff_band, omega_init, h, block, quad=None,
-               chunk: int = 4096, tiers=None):
+               chunk: int = 4096, tiers=None, fused: bool = False):
     """Reference ctor seeding (solver.h:396-415), banded."""
     omega_old = 0.99 * omega_init
     d_omega = 0.01 * omega_init
     M_old = assemble_bdia(p, grid, coeff_band, omega_old, h, block, quad,
-                          chunk, tiers)
+                          chunk, tiers, fused)
     omega = omega_old + d_omega
     M = assemble_bdia(p, grid, coeff_band, omega, h, block, quad, chunk,
-                      tiers)
+                      tiers, fused)
     dM = bdia_secant(M, M_old, d_omega)
     return SparseEigenState(omega=omega, d_omega=d_omega, M=M, dM=dM)
 
@@ -563,7 +571,8 @@ def arnoldi_estimate(state: SparseEigenState, m_krylov: int,
 
 def host64_polish_banded(p, grid, coeff_band, state: SparseEigenState,
                          tol: float, h: int, block: int, max_steps: int = 8,
-                         quad=None, chunk: int = 4096, tiers=None):
+                         quad=None, chunk: int = 4096, tiers=None,
+                         fused: bool = False):
     """Hybrid refinement for f32 devices: device BANDED assembly + host
     complex128 banded linear algebra (scipy splu with natural ordering keeps
     the fill inside the band).  The banded twin of eigen.host64_polish --
@@ -608,7 +617,8 @@ def host64_polish_banded(p, grid, coeff_band, state: SparseEigenState,
     dA = to_csc(state.dM)
     # device assembly via the jitted (re, im)-input wrapper: eager complex
     # scalar ops (even omega construction) are unimplemented on TPU
-    assemble = _assemble_jit(h, block, quad, chunk, grid.eta.dtype, tiers)
+    assemble = _assemble_jit(h, block, quad, chunk, grid.eta.dtype, tiers,
+                             fused)
     # frozen-v bordered secant (see eigen.host64_polish): the bilinear zero
     # is quadratically insensitive to v error, so v refreshes only at the
     # convergence signal -- 2 banded factorizations instead of one per step
@@ -693,44 +703,48 @@ _JIT_CACHE: dict = {}
 _ASSEMBLE_BDIA_JIT: dict = {}
 
 
-def _assemble_jit(h, block, quad, chunk, dtype, tiers=None):
+def _assemble_jit(h, block, quad, chunk, dtype, tiers=None,
+                  fused: bool = False):
     """Cached jitted banded assembly (p, grid, coeff_band, re, im) -> BDIA."""
     qkey = tuple(sorted(quad.items())) if quad else None
-    key = (h, block, qkey, chunk, jnp.dtype(dtype).name, tiers)
+    key = (h, block, qkey, chunk, jnp.dtype(dtype).name, tiers, fused)
     if key not in _ASSEMBLE_BDIA_JIT:
         cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
         _ASSEMBLE_BDIA_JIT[key] = jax.jit(
             lambda p, g, cb, re, im: assemble_bdia(
                 p, g, cb, (re + 1j * im).astype(cdtype), h, block, quad,
-                chunk, tiers))
+                chunk, tiers, fused))
     return _ASSEMBLE_BDIA_JIT[key]
 
 
 def _fns(h, block, quad, chunk, dtype, method: str = "TraceSecant",
-         tiers=None):
+         tiers=None, fused: bool = False):
     qkey = tuple(sorted(quad.items())) if quad else None
-    key = (h, block, qkey, chunk, jnp.dtype(dtype).name, method, tiers)
+    key = (h, block, qkey, chunk, jnp.dtype(dtype).name, method, tiers,
+           fused)
     if key not in _JIT_CACHE:
         cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
         init = jax.jit(lambda p, g, cb, re, im: init_state(
             p, g, cb, (re + 1j * im).astype(cdtype), h, block, quad, chunk,
-            tiers))
+            tiers, fused))
         step_fn = trace_newton_step if method == "TraceSecant" \
             else bordered_newton_step
         step = jax.jit(partial(step_fn, h=h, block=block,
-                               quad=quad, chunk=chunk, tiers=tiers))
+                               quad=quad, chunk=chunk, tiers=tiers,
+                               fused=fused))
         _JIT_CACHE[key] = (init, step, jax.jit(
             arnoldi_estimate, static_argnames=("m_krylov", "spmv")))
     return _JIT_CACHE[key]
 
 
-def _traced_fn(h, block, quad, chunk, dtype, method, tiers):
+def _traced_fn(h, block, quad, chunk, dtype, method, tiers,
+               fused: bool = False):
     """Fully-traced sparse solve: init + ``lax.while_loop`` Newton iteration
     as ONE program, convergence test on device (one host sync per solve --
     the sparse twin of eigen._traced_solve_fn)."""
     qkey = tuple(sorted(quad.items())) if quad else None
     key = ("traced", h, block, qkey, chunk, jnp.dtype(dtype).name, method,
-           tiers)
+           tiers, fused)
     if key not in _JIT_CACHE:
         cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
         step_fn = trace_newton_step if method == "TraceSecant" \
@@ -738,7 +752,7 @@ def _traced_fn(h, block, quad, chunk, dtype, method, tiers):
 
         def run(p, g, cb, re, im, tol, max_steps):
             state = init_state(p, g, cb, (re + 1j * im).astype(cdtype),
-                               h, block, quad, chunk, tiers)
+                               h, block, quad, chunk, tiers, fused)
 
             def cond(carry):
                 state, j, done = carry
@@ -748,7 +762,8 @@ def _traced_fn(h, block, quad, chunk, dtype, method, tiers):
             def body(carry):
                 state, j, _ = carry
                 state = step_fn(p, g, cb, state, h=h, block=block,
-                                quad=quad, chunk=chunk, tiers=tiers)
+                                quad=quad, chunk=chunk, tiers=tiers,
+                                fused=fused)
                 done = jnp.abs(state.d_omega) < tol * jnp.abs(state.omega)
                 return state, j + 1, done
 
@@ -766,7 +781,8 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
           block: int | None = None, m_krylov: int = 0,
           host64: bool = False, stats: dict | None = None,
           method: str = "TraceSecant", tiered: bool | None = None,
-          spmv: str | None = None, loop: str | None = None):
+          spmv: str | None = None, loop: str | None = None,
+          fused: bool | None = None):
     """Sparse end-to-end eigensolve.  Returns (omega, eigenvector, steps,
     state); optionally fills ``stats`` with SpMV/assembly metrics.
 
@@ -788,6 +804,11 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
     ``loop``: "device" runs the fully-traced lax.while_loop Newton
     iteration (one host sync per solve; default on TPU), "host" the
     host-driven loop.
+
+    ``fused``: route the banded kernel table through the hand-fused Pallas
+    VMEM integrand (ops/pallas_kappa.py).  Default: on for f32 on TPU
+    (matches the XLA f32 path to the rounding floor and is several times
+    faster); f32-only.
     """
     tol = tol if tol is not None else 1e-6
     dtype = dtype if dtype is not None else jnp.asarray(p.length).dtype
@@ -806,9 +827,13 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
     if tiered:
         dxf = 2.0 * float(p.length) / (p.npoints - 1)
         tiers = kernels.tier_thresholds_ij(dxf, p.npoints)
+    if fused is None:
+        fused = dtype == jnp.float32 and jax.default_backend() == "tpu"
+    if fused and dtype == jnp.float64:
+        raise ValueError("fused=True is f32-only (Pallas TPU kernel)")
 
     init, step, arnoldi_jit = _fns(h, block, quad, chunk, dtype, method,
-                                   tiers)
+                                   tiers, fused)
     if loop is None:
         loop = "device" if jax.default_backend() == "tpu" else "host"
     if loop not in ("host", "device"):
@@ -842,7 +867,8 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
 
     dev_tol = max(tol, 2e-4) if host64 else tol
     if loop == "device":
-        run = _traced_fn(h, block, quad, chunk, dtype, method, tiers)
+        run = _traced_fn(h, block, quad, chunk, dtype, method, tiers,
+                         fused)
         state, n_dev = run(p, grid, coeff_band,
                            jnp.asarray(seed.real, dtype),
                            jnp.asarray(seed.imag, dtype),
@@ -897,7 +923,7 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
     if host64:
         omega, v, extra = host64_polish_banded(
             p, grid, coeff_band, state, tol, h, block, quad=quad, chunk=chunk,
-            tiers=tiers)
+            tiers=tiers, fused=fused)
         if p.electromagnetic:
             v = deinterleave(v)
         return omega, v, n_steps + extra, state

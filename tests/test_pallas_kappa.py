@@ -74,3 +74,28 @@ def test_fused_solve_reaches_golden(tok32_f32, golden_eigenvalues):
                                      fused=True)
     ref = complex(*golden_eigenvalues["tok32"]["omega"])
     assert abs(om - ref) / abs(ref) < 5e-4
+
+
+def test_fused_sparse_bdia_assembly_matches(tok32_f32):
+    # the fused integrand routed through the banded kernel table must
+    # reproduce the XLA-path BDIA assembly (f32, interpret mode on CPU)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emme_tpu.ops.singularity import singularity_coeff_band
+    from emme_tpu.solvers import sparse_eigen
+
+    p = tok32_f32
+    grid = Grid.create(p.length, p.npoints, dtype=jnp.float32)
+    om = -0.8 + 0.25j
+    h, bs = 3, 8
+    cband = singularity_coeff_band(p.npoints, (h + 1) * bs - 1,
+                                   dtype=jnp.float32)
+    quad = {"n_shoulder": 8, "n_osc": 16, "n_tail": 4}
+    mk = lambda fused: jax.jit(lambda: sparse_eigen.assemble_bdia(
+        p, grid, cband, jnp.complex64(om), h, bs, quad=quad,
+        fused=fused))()
+    ref = np.asarray(mk(False).data)
+    got = np.asarray(mk(True).data)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 2e-6 * scale
