@@ -43,6 +43,9 @@ def main(argv=None):
                          "mesh: sharded assembly (dense), SPIKE-distributed "
                          "banded Newton solve (sparse), marker-sharded PIC; "
                          "equivalent to input key \"mesh\": {\"rows\": N}")
+    ap.add_argument("--debug", action="store_true",
+                    help="EMME_DEBUG analogue: NaN-raising jits + input "
+                         "dimension/positivity validation")
     ap.add_argument("-q", "--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -70,7 +73,7 @@ def main(argv=None):
                checkpoint=not args.no_checkpoint, verbose=not args.quiet,
                chunk=args.chunk, host64=args.host64,
                scan_workers=args.scan_workers, scan_mode=args.scan_mode,
-               mesh_rows=args.mesh_rows)
+               mesh_rows=args.mesh_rows, debug=args.debug)
     return 0
 
 

@@ -427,7 +427,7 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
         dtype=jnp.float64, checkpoint: bool = True, verbose: bool = True,
         quad=None, chunk: int = 2048, host64: bool = False,
         scan_workers: int = 1, scan_mode: str = "wavefront",
-        mesh_rows: int | None = None) -> dict:
+        mesh_rows: int | None = None, debug: bool = False) -> dict:
     """Execute the full (possibly scanning) job; writes output.json and
     binary matrix dumps under ``output_dir``; returns the result object.
 
@@ -448,6 +448,15 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
     if not isinstance(input_cfg, dict):
         with open(input_cfg) as f:
             input_cfg = json.load(f)
+
+    if debug or input_cfg.get("debug"):
+        # the reference's EMME_DEBUG analogue: NaN-raising jits + input
+        # dimension/positivity validation (utils/debug.py)
+        from .utils import debug as debug_mod
+        debug_mod.enable_nan_checks()
+        debug_mod.validate_problem(
+            params_mod.from_config(filter_input(input_cfg), dtype=dtype),
+            filter_input(input_cfg))
 
     mesh_cfg = input_cfg.get("mesh") or {}
     rows = mesh_rows if mesh_rows is not None else mesh_cfg.get("rows")

@@ -288,3 +288,24 @@ def test_wavefront_scan_matches_sequential(tmp_path, tokamak_cfg,
         seq["result"]["eta_i"]["scan_values"]
     for a, b in zip(ev_s, ev_w):
         assert abs(complex(*a) - complex(*b)) / abs(complex(*a)) < 1e-6
+
+
+def test_debug_mode_validates_and_catches(tmp_path, tokamak_cfg):
+    # the EMME_DEBUG analogue (solver.h:418-425 dimension checks +
+    # NaN-raising jits via jax_debug_nans)
+    import jax
+    import pytest
+    from emme_tpu import driver
+
+    base = dict(tokamak_cfg, npoints=32, method="eigen",
+                initial_guess=[-0.8, 0.25], quad_guard="off")
+    # bad band_block must be rejected by name before any solve runs
+    bad = dict(base, eigen_backend="sparse", band_block=7, debug=True)
+    with pytest.raises(Exception, match="band_block"):
+        driver.run(bad, output_dir=tmp_path / "bad", verbose=False)
+    # negative marker count on the PIC surface
+    bad2 = dict(base, method="PIC", marker_per_cell=-4, step_number=2,
+                time_step=0.25, debug=True)
+    with pytest.raises(Exception, match="marker_per_cell"):
+        driver.run(bad2, output_dir=tmp_path / "bad2", verbose=False)
+    jax.config.update("jax_debug_nans", False)  # don't leak into other tests
