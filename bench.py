@@ -78,6 +78,33 @@ def main():
     print(f"host64 tol=1e-6: {om64} steps {nsteps64} rel_err "
           f"{rel_err64:.3g} in {elapsed64:.2f}s", file=sys.stderr, flush=True)
 
+    # secondary: canonical stellarator case (EM dim 2048, host64 polish;
+    # golden stellarator_sequence.json n=1024, agreement 1.3e-5)
+    stel_seconds = None
+    stel_err = None
+    try:
+        if not on_tpu:
+            raise RuntimeError("stel1024 secondary is TPU-only (a dense f64 "
+                               "EM solve would take hours on this CPU)")
+        with open(REPO / "tests" / "goldens" / "inputs"
+                  / "stellarator.json") as f:
+            scfg = json.load(f)
+        scfg["npoints"] = 1024
+        sp = from_config(scfg, dtype=dtype)
+        STEL_GOLDEN = complex(-1.65655594094, 2.49032058254)
+        eigen.solve(sp, -1.656 + 2.490j, tol=1e-6, chunk=chunk,
+                    host64=on_tpu)  # warm
+        t0 = time.time()
+        som, _sv, _sn, _ = eigen.solve(sp, -1.656 + 2.490j, tol=1e-6,
+                                       chunk=chunk, host64=on_tpu)
+        stel_seconds = time.time() - t0
+        stel_err = abs(som - STEL_GOLDEN) / abs(STEL_GOLDEN)
+        print(f"stel1024: {som} in {stel_seconds:.2f}s rel_err "
+              f"{stel_err:.3g}", file=sys.stderr, flush=True)
+        assert stel_err < 2e-4, f"stellarator regression: {stel_err}"
+    except Exception as e:  # secondary cases must not sink the headline
+        print(f"stel bench skipped: {e}", file=sys.stderr, flush=True)
+
     # secondary: canonical PIC case (1024x1024 markers, 180 steps;
     # goldens pic_tok1024, reference 146.2 s on the 2-core host)
     pic_seconds = None
@@ -95,6 +122,9 @@ def main():
         "tol1e6_host64_s": round(elapsed64, 3),
         "tol1e6_rel_err": float(f"{rel_err64:.3g}"),
     }
+    if stel_seconds is not None:
+        out["stel1024_host64_s"] = round(stel_seconds, 3)
+        out["stel1024_rel_err"] = float(f"{stel_err:.3g}")
     if pic_seconds is not None:
         out["pic_tok1024_s"] = round(pic_seconds, 3)
         out["pic_vs_baseline"] = round(146.2 / pic_seconds, 2)

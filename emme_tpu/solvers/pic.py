@@ -341,6 +341,288 @@ def field_stats(field):
         jnp.sqrt(jnp.mean(jnp.real(field * jnp.conj(field))))])
 
 
+# ---------------------------------------------------------------------------
+# Sorted-window marker path: the one-hot CIC gather/deposit matmuls dominate
+# the PIC step on TPU (~92% measured at the canonical case) because their
+# useful minor dimension (4-8 columns) pads to the 128-wide MXU tile while
+# the contraction runs over ALL nf cells.  Sorting markers by eta (a cheap
+# 6.6 ms multi-operand lax.sort at 1M markers) makes each marker chunk
+# CELL-LOCAL, so the one-hots only span a W-cell window around the chunk:
+# nf/W times fewer MXU flops, exactly the same arithmetic.  Markers drift
+# between re-sorts; the window slack absorbs a statically-bounded drift
+# (bound from max|v_para|, which never changes), eta runs UNWRAPPED inside
+# a sorted block (guard cells handle periodicity exactly), and any marker
+# that still escapes its window is clamped AND counted (the returned
+# violation count is asserted zero in tests and reported by the driver).
+# ---------------------------------------------------------------------------
+
+_RK_SUBSTEP_SUM = float(sum(abs(RK_COEF[s][s + 1]) for s in range(3)))
+
+
+def _split_c(z):
+    return jnp.real(z), jnp.imag(z)
+
+
+def sort_by_eta(p, s: PICState) -> PICState:
+    """Sort all marker arrays by (wrapped) eta -- one multi-operand
+    lax.sort; complex fields ride as (re, im) plane operands."""
+    eta = _wrap_eta(p, s.eta)
+    wr, wi = _split_c(s.weight)
+    dr, di = _split_c(s.dc_pb)
+    out = jax.lax.sort(
+        (eta, s.v_para, s.v_perp, wr, wi, s.omega_dv, s.omega_st,
+         s.p_weight, s.j0, dr, di), dimension=0, num_keys=1)
+    (eta, v_para, v_perp, wr, wi, odv, ost, pw, j0, dr, di) = out
+    return PICState(eta=eta, v_para=v_para, v_perp=v_perp,
+                    weight=wr + 1j * wi, omega_dv=odv, omega_st=ost,
+                    p_weight=pw, j0=j0, dc_pb=dr + 1j * di, field=s.field)
+
+
+def _window_bases(p, eta_sorted, n_chunks: int, W: int, G: int, nfe: int):
+    """Per-chunk window starts in EXTENDED cell coordinates, centered on
+    the chunk's sorted span (margin >= (W - span)/2 on both sides)."""
+    cw = cell_width(p)
+    C = eta_sorted.shape[0] // n_chunks
+    idx = jnp.floor((eta_sorted + p.length) / cw).astype(jnp.int32) + G
+    first = idx[0::C]
+    last = idx[C - 1::C]
+    mid = (first + last) // 2
+    return jnp.clip(mid - W // 2, 0, nfe - W - 1)
+
+
+def _field_table_ext(field, G: int):
+    """Extended (nf + 2G + 2, 8) gather table: [f, f(+1), g, g(+1)] planes
+    of the periodic field with G wrapped guard rows left and G + 2 right,
+    so unwrapped window indices need no mod."""
+    g = jnp.roll(field, -1) - jnp.roll(field, 1)
+    fp = jnp.roll(field, -1)
+    gp = jnp.roll(g, -1)
+    table = jnp.stack([jnp.real(field), jnp.imag(field),
+                       jnp.real(fp), jnp.imag(fp),
+                       jnp.real(g), jnp.imag(g),
+                       jnp.real(gp), jnp.imag(gp)], axis=-1)
+    return jnp.concatenate([table[-G:], table, table[:G + 2]])
+
+
+def _gather_windowed(table_ext, eta, w0, W: int, G: int, cw, L):
+    """CIC gather with per-chunk W-cell one-hots (vs nf-cell full-width).
+    Returns (phi, dphi, violations)."""
+    n_chunks = w0.shape[0]
+    C = eta.shape[0] // n_chunks
+    dtype = table_ext.dtype
+
+    def body(_, args):
+        eta_c, w0_c = args
+        x = (eta_c + L) / cw
+        idxf = jnp.floor(x)
+        w = (x - idxf).astype(dtype)
+        lidx = idxf.astype(jnp.int32) + G - w0_c
+        viol = jnp.sum((lidx < 0) | (lidx >= W))
+        lidx = jnp.clip(lidx, 0, W - 1)
+        z0 = jnp.asarray(0, w0_c.dtype)
+        tw = jax.lax.dynamic_slice(table_ext, (w0_c, z0), (W, 8))
+        oh = jax.nn.one_hot(lidx, W, dtype=dtype)
+        cols = oh @ tw
+        f0 = cols[:, 0] + 1j * cols[:, 1]
+        f1 = cols[:, 2] + 1j * cols[:, 3]
+        g0 = cols[:, 4] + 1j * cols[:, 5]
+        g1 = cols[:, 6] + 1j * cols[:, 7]
+        phi = (1.0 - w) * f0 + w * f1
+        dphi = ((1.0 - w) * g0 + w * g1) / (2.0 * cw)
+        return None, (phi, dphi, viol)
+
+    _, (phi, dphi, viol) = jax.lax.scan(
+        body, None, (eta.reshape(n_chunks, C), w0))
+    return phi.reshape(-1), dphi.reshape(-1), viol.sum().astype(jnp.int32)
+
+
+def _deposit_windowed(den, eta, w0, W: int, G: int, nf: int, cw, L):
+    """CIC deposit with per-chunk W-cell one-hots into an extended
+    accumulator, folded back periodically.  Returns (field_density (nf,)
+    complex, violations)."""
+    n_chunks = w0.shape[0]
+    C = den.shape[0] // n_chunks
+    rdtype = jnp.real(den).dtype
+    nfe = nf + 2 * G + 2
+
+    def body(carry, args):
+        acc, viols = carry
+        den_c, eta_c, w0_c = args
+        x = (eta_c + L) / cw
+        idxf = jnp.floor(x)
+        w = (x - idxf).astype(rdtype)
+        lidx = idxf.astype(jnp.int32) + G - w0_c
+        viol = jnp.sum((lidx < 0) | (lidx >= W)).astype(jnp.int32)
+        lidx = jnp.clip(lidx, 0, W - 1)
+        oh = jax.nn.one_hot(lidx, W, dtype=rdtype)
+        wl = 1.0 - w
+        vals = jnp.stack([jnp.real(den_c) * wl, jnp.imag(den_c) * wl,
+                          jnp.real(den_c) * w, jnp.imag(den_c) * w], axis=-1)
+        y = oh.T @ vals                       # (W, 4)
+        upd = jnp.zeros((W + 1, 2), rdtype)
+        upd = upd.at[:W].add(y[:, :2])
+        upd = upd.at[1:].add(y[:, 2:])        # right CIC node at lidx + 1
+        z0 = jnp.asarray(0, w0_c.dtype)
+        seg = jax.lax.dynamic_slice(acc, (w0_c, z0), (W + 1, 2))
+        acc = jax.lax.dynamic_update_slice(acc, seg + upd, (w0_c, z0))
+        return (acc, viols + viol), None
+
+    acc0 = jnp.zeros((nfe, 2), rdtype)
+    (acc, viols), _ = jax.lax.scan(
+        body, (acc0, jnp.asarray(0, jnp.int32)),
+        (den.reshape(n_chunks, C), eta.reshape(n_chunks, C), w0))
+
+    # fold the guards back onto the periodic grid
+    out = acc[G:G + nf]
+    out = out.at[nf - G:].add(acc[:G])
+    right = acc[G + nf:]
+    out = out.at[:right.shape[0]].add(right)
+    return out[:, 0] + 1j * out[:, 1], viols.astype(jnp.int32)
+
+
+def _wrap_eta(p, eta):
+    return jnp.mod(eta + p.length, 2.0 * p.length) - p.length
+
+
+def put_velocity_sorted(p, s: PICState, w0, W: int, G: int):
+    """put_velocity with the windowed gather; ``s.eta`` may be UNWRAPPED
+    (guard cells absorb the periodic image); physics terms use the wrapped
+    coordinate."""
+    cw = cell_width(p)
+    eta_p = _wrap_eta(p, s.eta)
+    x_perp = s.v_perp / p.vt
+    sb = jnp.sqrt(p.b_theta * (1.0 + (p.shat * eta_p) ** 2))
+    dj0 = (-p.b_theta * p.shat**2 * x_perp * eta_p
+           * bessel_j1(x_perp * sb) / sb)
+
+    table_ext = _field_table_ext(s.field, G)
+    phi, dphi, viol = _gather_windowed(table_ext, s.eta, w0, W, G, cw,
+                                       p.length)
+
+    omega_d = _omega_d(p, eta_p)
+    common = (1j * ((s.omega_st - omega_d * s.omega_dv) * s.j0 * phi)
+              - s.v_para / (p.q * p.R) * (s.j0 * dphi + dj0 * phi))
+    if p.drift_center_transformation_switch:
+        return s.p_weight * jnp.conj(s.dc_pb) * common, viol
+    return (-s.weight * omega_d * s.omega_dv * 1j
+            + s.p_weight * common), viol
+
+
+def solve_field_sorted(p, s: PICState, qn_coef, w0, W: int, G: int,
+                       density_reduce=None):
+    """solve_field with the windowed deposit (unwrapped eta ok)."""
+    nf = p.npoints
+    cw = cell_width(p)
+    eta_p = _wrap_eta(p, s.eta)
+    x_perp = s.v_perp / p.vt
+    sb = jnp.sqrt(p.b_theta * (1.0 + (p.shat * eta_p) ** 2))
+    j0 = bessel_j0(x_perp * sb)
+    dc_pb = jnp.exp(-1j * _omega_d_integral(p, eta_p, s.v_para) * s.omega_dv)
+
+    den = (j0 * s.weight * dc_pb if p.drift_center_transformation_switch
+           else j0 * s.weight)
+    d, viol = _deposit_windowed(den, s.eta, w0, W, G, nf, cw, p.length)
+    if density_reduce is not None:
+        d = density_reduce(d)
+    field = d * qn_coef
+    return PICState(eta=s.eta, v_para=s.v_para, v_perp=s.v_perp,
+                    weight=s.weight, omega_dv=s.omega_dv,
+                    omega_st=s.omega_st, p_weight=s.p_weight, j0=j0,
+                    dc_pb=dc_pb, field=field), viol
+
+
+def rk3_step_sorted(p, s: PICState, dt, qn_coef, w0, W: int, G: int,
+                    density_reduce=None):
+    """RK3 step on the sorted/windowed path; eta stays UNWRAPPED within a
+    sorted block (no per-stage mod -- the wrap happens at re-sort time).
+    Returns (state, violations)."""
+    viols = jnp.asarray(0, jnp.int32)
+    v = []
+    for stage in range(3):
+        vel, vg = put_velocity_sorted(p, s, w0, W, G)
+        v.append(vel)
+        combo = sum(RK_COEF[stage][k] * x for k, x in enumerate(v))
+        sub_dt = RK_COEF[stage][stage + 1] * dt
+        eta = s.eta + s.v_para * sub_dt / (p.q * p.R)
+        weight = s.weight + combo * sub_dt
+        s = PICState(eta=eta, v_para=s.v_para, v_perp=s.v_perp,
+                     weight=weight, omega_dv=s.omega_dv,
+                     omega_st=s.omega_st, p_weight=s.p_weight, j0=s.j0,
+                     dc_pb=s.dc_pb, field=s.field)
+        s, vd = solve_field_sorted(p, s, qn_coef, w0, W, G, density_reduce)
+        viols = (viols + vg + vd).astype(jnp.int32)
+    return s, viols
+
+
+def run_sorted(p, marker_per_cell: int, n_steps: int, dt, key=None,
+               resort_every: int = 15, window: int = 256,
+               chunk_markers: int = 2048):
+    """``run`` on the sorted-window path.  Markers re-sort every
+    ``resort_every`` steps; the guard width G is chosen STATICALLY from the
+    realized max|v_para| (which never changes) so that no marker can drift
+    past its window between sorts -- the returned ``violations`` count is
+    the runtime proof (zero in every validated configuration).
+
+    Returns (stats (n_steps, 3), final state, violations)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    dtype = jnp.asarray(p.length).dtype
+
+    # realized max |v_para| (same RNG stream as init_state), fetched once
+    # on the host to make the guard width static
+    n = marker_per_cell * p.npoints
+    _k1, k2, _k3, _k4 = jax.random.split(key, 4)
+    vmax = float(jax.jit(lambda k: jnp.max(jnp.abs(
+        jax.random.normal(k, (n,), dtype)
+        * p.vt / jnp.sqrt(p.water_bag_weight_vpara))))(k2))
+
+    nf = p.npoints
+    cw = 2.0 * float(p.length) / nf
+    W = int(window)
+    # the window-escape guarantee: between sorts the fastest marker drifts
+    # R * dt * vmax * sum|substep| / (q R_major); the window margin after
+    # centering is ~(W - span)/2 cells.  Derive the largest safe re-sort
+    # interval instead of trusting the caller (span allowance 16 cells +
+    # CIC reach).  The returned violation count is the runtime proof.
+    span_allow = max(16, 2 * int(chunk_markers) // max(marker_per_cell, 1))
+    margin_eta = ((W - span_allow) // 2 - 4) * cw
+    drift_per_step = float(dt) * vmax * (_RK_SUBSTEP_SUM + 0.2) \
+        / float(p.q * p.R)
+    safe_R = max(1, int(margin_eta / max(drift_per_step, 1e-30)))
+    R = min(int(resort_every), safe_R, n_steps)
+    while n_steps % R:         # must divide n_steps (scan structure)
+        R -= 1
+    G = int(np.ceil(R * drift_per_step / cw)) + 2
+    nfe = nf + 2 * G + 2
+    n_chunks = max(1, n // int(chunk_markers))
+
+    s0 = jax.jit(lambda k: init_state(p, marker_per_cell, k,
+                                      dtype=dtype))(key)
+
+    @jax.jit
+    def full(s):
+        # inside the jit: eager complex ops (the Bessel in the
+        # quasi-neutrality table) are unimplemented on the TPU backend
+        qn = quasi_neutrality_coef(p, dtype=dtype)
+
+        def outer(s, _):
+            s = sort_by_eta(p, s)
+            w0 = _window_bases(p, s.eta, n_chunks, W, G, nfe)
+
+            def inner(s, _):
+                s, viol = rk3_step_sorted(p, s, dt, qn, w0, W, G)
+                return s, (field_stats(s.field), viol)
+
+            s, (stats, viols) = jax.lax.scan(inner, s, None, length=R)
+            return s, (stats, viols)
+
+        s, (stats, viols) = jax.lax.scan(outer, s, None,
+                                         length=n_steps // R)
+        return s, stats.reshape(n_steps, -1), viols.sum()
+
+    s, stats, viols = full(s0)
+    return stats, s, viols
+
+
 def run(p, marker_per_cell: int, n_steps: int, dt, key=None,
         density_reduce=None, record_fields: bool = False,
         gather_method: str | None = None,

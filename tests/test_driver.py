@@ -309,3 +309,14 @@ def test_debug_mode_validates_and_catches(tmp_path, tokamak_cfg):
     with pytest.raises(Exception, match="marker_per_cell"):
         driver.run(bad2, output_dir=tmp_path / "bad2", verbose=False)
     jax.config.update("jax_debug_nans", False)  # don't leak into other tests
+
+
+def test_driver_pic_sorted(tmp_path, tokamak_cfg):
+    from emme_tpu import driver
+
+    base = dict(tokamak_cfg, npoints=32, method="PIC", marker_per_cell=16,
+                step_number=8, time_step=0.25, initial_guess=[-0.8, 0.25],
+                pic_sorted=True, pic_window=16, pic_chunk_markers=64)
+    r = driver.run(base, output_dir=tmp_path, verbose=False)
+    res = r["result"]["(None)"]["scan_result"][0]
+    assert np.isfinite(res["eigenvalue"]).all()

@@ -246,3 +246,28 @@ def test_driver_pic_adaptive_and_timers(tmp_path, tokamak_cfg):
                 method="PIC", pic_timers=True)
     res2 = driver.run(cfg2, output_dir=tmp_path / "b", verbose=False)
     assert "eigenvalue" in res2["result"]["(None)"]["scan_result"][0]
+
+
+def test_run_sorted_matches_run(tokamak_cfg):
+    # the sorted-window path (cell-local one-hot gather/deposit over W-cell
+    # windows, unwrapped eta between re-sorts, guard-cell periodic fold)
+    # must reproduce the reference path to roundoff, with ZERO window
+    # violations (the guard width is chosen from the realized max |v_para|)
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from emme_tpu import from_config
+    from emme_tpu.solvers import pic
+
+    cfg = dict(tokamak_cfg, npoints=64)
+    p = from_config(cfg)
+    key = jax.random.PRNGKey(0)
+    stats_ref, s_ref, _ = pic.run(p, 32, 12, 0.25, key=key)
+    stats_w, s_w, viols = pic.run_sorted(p, 32, 12, 0.25, key=key,
+                                         resort_every=4, window=32,
+                                         chunk_markers=256)
+    assert int(viols) == 0
+    assert np.abs(np.asarray(stats_ref) - np.asarray(stats_w)).max() < 1e-12
+    fr = np.asarray(s_ref.field)
+    fw = np.asarray(s_w.field)
+    assert np.abs(fr - fw).max() < 1e-12 * np.abs(fr).max() + 1e-13
