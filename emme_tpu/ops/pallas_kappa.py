@@ -45,6 +45,46 @@ from . import kernels, quadrature
 TILE_P = 256          # pairs per grid step
 SAFE_EXP_CUTOFF = kernels.SAFE_EXP_CUTOFF
 
+# Interpret-mode override for Pallas calls.  ``jax.default_backend()`` is not
+# a reliable gate when the computation targets devices other than the default
+# backend's (e.g. the multichip dryrun shards over the virtual CPU mesh while
+# a single tunneled TPU chip remains the default backend, which also swallows
+# JAX_PLATFORMS=cpu).  Callers that know the target platform (spike.solve,
+# sharded paths -- anything holding a Mesh) wrap tracing in
+# ``force_interpret(platform != "tpu")``.
+_FORCE_INTERPRET: bool | None = None
+
+
+class force_interpret:
+    """Context manager: pin the Pallas interpret-mode default while tracing.
+
+    ``with force_interpret(mesh_platform != "tpu"): ...`` makes every Pallas
+    call whose ``interpret`` argument is None use the given value instead of
+    the ``jax.default_backend()`` heuristic.  Re-entrant; restores the
+    previous override on exit."""
+
+    def __init__(self, flag: bool):
+        self.flag = bool(flag)
+
+    def __enter__(self):
+        global _FORCE_INTERPRET
+        self._saved = _FORCE_INTERPRET
+        _FORCE_INTERPRET = self.flag
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_INTERPRET
+        _FORCE_INTERPRET = self._saved
+        return False
+
+
+def interpret_default() -> bool:
+    """True when Pallas calls should run in interpret mode: honours an active
+    ``force_interpret`` override, else falls back to "not on TPU"."""
+    if _FORCE_INTERPRET is not None:
+        return _FORCE_INTERPRET
+    return jax.default_backend() != "tpu"
+
 # f32 Bessel hybrid term counts (vs 44/14 in the f64-capable ops/bessel.py):
 # truncation error ~1e-9 at the |w| = 12 split, well under the f32 integrand
 # rounding floor of ~1e-7.
@@ -404,7 +444,7 @@ def kappa_pairs_fused(p, eta, eta_p, omega, ms=(0,), quad=None,
     preset = kernels.panel_preset(jnp.float32)
     order = int(quad.get("order", p.integration_start_points))
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = interpret_default()
     eta = jnp.asarray(eta, jnp.float32)
     eta_p = jnp.asarray(eta_p, jnp.float32)
     d_eta = eta - eta_p

@@ -314,7 +314,8 @@ def bsr_matvec_pallas(op: BSROperator, xr, xi, interpret: bool | None = None):
     code path is testable on the CPU mesh.
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        from .pallas_kappa import interpret_default
+        interpret = interpret_default()
     bs = op.block
     nb = op.n // bs
     vec = xr.ndim == 1

@@ -44,7 +44,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..grid import Grid
-from ..ops import banded
+from ..ops import banded, pallas_kappa
 from ..ops.sparse import BDIAOperator, bdia_matvec
 from ..solvers import sparse_eigen as se
 
@@ -432,15 +432,20 @@ def solve(p, omega_init, mesh: Mesh, tol: float | None = None, quad=None,
     if tiered:
         dxf = 2.0 * float(p.length) / (p.npoints - 1)
         tiers = se.kernels.tier_thresholds_ij(dxf, p.npoints)
+    # Gate the fused Pallas integrand on the MESH's platform, not the default
+    # backend: the dryrun shards over a virtual CPU mesh while a tunneled TPU
+    # chip may remain the default backend (and vice versa a future CPU-default
+    # host could drive a TPU mesh).
+    mesh_platform = mesh.devices.flat[0].platform
     if fused is None:
-        fused = dtype == jnp.float32 and jax.default_backend() == "tpu"
+        fused = dtype == jnp.float32 and mesh_platform == "tpu"
 
     init, step, nullspace = _sharded_fns(mesh, h, block, quad, chunk, dtype,
                                          tiers, fused)
     omega = complex(omega_init)
     dev_tol = max(tol, 2e-4) if host64 else tol
     d_omega = 0.01 * omega
-    with mesh:
+    with mesh, pallas_kappa.force_interpret(mesh_platform != "tpu"):
         M, dM = init(p, grid, coeff_band,
                      jnp.asarray(omega.real, dtype),
                      jnp.asarray(omega.imag, dtype))

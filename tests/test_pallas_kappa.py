@@ -99,3 +99,28 @@ def test_fused_sparse_bdia_assembly_matches(tok32_f32):
     got = np.asarray(mk(True).data)
     scale = np.abs(ref).max()
     assert np.abs(got - ref).max() < 2e-6 * scale
+
+
+def test_force_interpret_override():
+    """force_interpret pins the interpret-mode default while tracing and
+    restores the previous state on exit (incl. nesting + exceptions) --
+    guards the multichip dryrun, where a virtual CPU mesh is driven while a
+    tunneled TPU chip stays the default backend (regression: Pallas tried to
+    lower for TPU on CPU devices)."""
+    import jax
+    from emme_tpu.ops import pallas_kappa as pk
+
+    base = jax.default_backend() != "tpu"
+    assert pk.interpret_default() == base
+    with pk.force_interpret(True):
+        assert pk.interpret_default() is True
+        with pk.force_interpret(False):
+            assert pk.interpret_default() is False
+        assert pk.interpret_default() is True
+    assert pk.interpret_default() == base
+    try:
+        with pk.force_interpret(not base):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert pk.interpret_default() == base
