@@ -32,6 +32,7 @@ path in tests/test_pallas_kappa.py.
 
 from __future__ import annotations
 
+import contextvars
 from functools import partial
 
 import numpy as np
@@ -52,7 +53,8 @@ SAFE_EXP_CUTOFF = kernels.SAFE_EXP_CUTOFF
 # JAX_PLATFORMS=cpu).  Callers that know the target platform (spike.solve,
 # sharded paths -- anything holding a Mesh) wrap tracing in
 # ``force_interpret(platform != "tpu")``.
-_FORCE_INTERPRET: bool | None = None
+_FORCE_INTERPRET: contextvars.ContextVar[bool | None] = \
+    contextvars.ContextVar("pallas_force_interpret", default=None)
 
 
 class force_interpret:
@@ -60,29 +62,28 @@ class force_interpret:
 
     ``with force_interpret(mesh_platform != "tpu"): ...`` makes every Pallas
     call whose ``interpret`` argument is None use the given value instead of
-    the ``jax.default_backend()`` heuristic.  Re-entrant; restores the
-    previous override on exit."""
+    the ``jax.default_backend()`` heuristic.  Re-entrant; the override lives
+    in a ContextVar, so it is scoped to the current thread/context (a
+    concurrent trace on another thread sees its own default)."""
 
     def __init__(self, flag: bool):
         self.flag = bool(flag)
 
     def __enter__(self):
-        global _FORCE_INTERPRET
-        self._saved = _FORCE_INTERPRET
-        _FORCE_INTERPRET = self.flag
+        self._token = _FORCE_INTERPRET.set(self.flag)
         return self
 
     def __exit__(self, *exc):
-        global _FORCE_INTERPRET
-        _FORCE_INTERPRET = self._saved
+        _FORCE_INTERPRET.reset(self._token)
         return False
 
 
 def interpret_default() -> bool:
     """True when Pallas calls should run in interpret mode: honours an active
     ``force_interpret`` override, else falls back to "not on TPU"."""
-    if _FORCE_INTERPRET is not None:
-        return _FORCE_INTERPRET
+    override = _FORCE_INTERPRET.get()
+    if override is not None:
+        return override
     return jax.default_backend() != "tpu"
 
 # f32 Bessel hybrid term counts (vs 44/14 in the f64-capable ops/bessel.py):

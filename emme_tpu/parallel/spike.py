@@ -469,11 +469,16 @@ def solve(p, omega_init, mesh: Mesh, tol: float | None = None, quad=None,
         stats["nnz"] = M.nnz
     if host64:
         # hybrid polish: host complex128 banded linalg on the (gathered)
-        # operator; the few extra polish assemblies run single-device
+        # operator; the few extra polish assemblies run single-device on the
+        # DEFAULT backend (not the mesh), so the fused Pallas flag must be
+        # re-gated on it -- with a TPU mesh driven from a CPU-default host,
+        # fused=True would otherwise run the polish assemblies in
+        # interpret mode, orders of magnitude slower
+        fused_polish = fused and jax.default_backend() == "tpu"
         state = se.SparseEigenState(omega=omega, d_omega=d_omega, M=M, dM=dM)
         omega, vec, extra = se.host64_polish_banded(
             p, grid, coeff_band, state, tol, h, block, quad=quad,
-            chunk=chunk, tiers=tiers, fused=fused)
+            chunk=chunk, tiers=tiers, fused=fused_polish)
         if p.electromagnetic:
             vec = se.deinterleave(vec)
         return omega, vec, n_steps + extra, M

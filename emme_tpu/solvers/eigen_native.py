@@ -16,10 +16,28 @@ from ..ops.singularity import singularity_coeff_matrix
 from .pic import RK_COEF  # noqa: F401  (re-exported convenience)
 
 
+def _qr_secant_delta(M, dM):
+    """The reference's QRSecant update (solver.h:210-383) with the SAME
+    LAPACK kernel it calls: scipy.linalg.qr(pivoting=True) wraps zgeqp3, so
+    pivots and phases match the reference bit-for-bit.  M P = Q R;
+    v = P [-R_11^{-1} r; 1]; d_omega = -R_nn / (Q^H dM v)_n."""
+    import scipy.linalg as sla
+
+    n = M.shape[0]
+    Q, R, perm = sla.qr(M, pivoting=True)
+    w = sla.solve_triangular(R[: n - 1, : n - 1], R[: n - 1, n - 1])
+    v = np.zeros(n, dtype=M.dtype)
+    v[perm[: n - 1]] = -w
+    v[perm[n - 1]] = 1.0
+    u = Q.conj().T @ (dM @ v)
+    return -R[n - 1, n - 1] / u[n - 1]
+
+
 def solve(p, omega_init: complex, tol: float = 1e-6, callback=None,
-          n_threads=None):
-    """Newton-trace-secant iteration (solver.h:113-160 semantics) with
-    native assembly and LAPACK-backed numpy/scipy linear algebra."""
+          n_threads=None, method: str = "TraceSecant"):
+    """Newton secant iteration (solver.h:113-160 TraceSecant /
+    solver.h:210-383 QRSecant semantics) with native assembly and
+    LAPACK-backed numpy/scipy linear algebra."""
     import scipy.linalg as sla
 
     coeff = np.asarray(singularity_coeff_matrix(p.npoints, dtype=np.float64))
@@ -33,8 +51,11 @@ def solve(p, omega_init: complex, tol: float = 1e-6, callback=None,
 
     n_steps = 0
     for j in range(p.iteration_step_limit + 1):
-        X = sla.lu_solve(sla.lu_factor(M), dM)
-        d_omega = -1.0 / np.trace(X)
+        if method == "QRSecant":
+            d_omega = _qr_secant_delta(M, dM)
+        else:
+            X = sla.lu_solve(sla.lu_factor(M), dM)
+            d_omega = -1.0 / np.trace(X)
         omega = omega + d_omega
         M_new = native.assemble(p, coeff, omega, n_threads)
         dM = (M_new - M) / d_omega
