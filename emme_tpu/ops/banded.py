@@ -41,6 +41,28 @@ def _cmm(a, b):
     return jnp.stack([ar @ br - ai @ bi, ar @ bi + ai @ br])
 
 
+def _cmm_b(a, b):
+    """Batched complex block matmul on (..., 2, bs, x) planes: one pair of
+    batched MXU matmuls per plane combination instead of a Python loop of
+    per-block products (the loop form emits O(h^2) individual 128x128
+    matmul HLOs per factorization step -- serialization the MXU pipeline
+    never recovers from; the batched form is a single fat matmul)."""
+    ar, ai = a[..., 0, :, :], a[..., 1, :, :]
+    br, bi = b[..., 0, :, :], b[..., 1, :, :]
+    return jnp.stack([ar @ br - ai @ bi, ar @ bi + ai @ br], axis=-3)
+
+
+def _cmm_sum(a, b, axis: int = 0):
+    """sum_k a[k] @ b[k] on (k, 2, bs, x) planes as ONE contraction:
+    einsum over the block index k runs as a single MXU matmul with the
+    contraction dimension k*bs."""
+    ar, ai = a[:, 0], a[:, 1]
+    br, bi = b[:, 0], b[:, 1]
+    rr = jnp.einsum("kab,kbc->ac", ar, br) - jnp.einsum("kab,kbc->ac", ai, bi)
+    ri = jnp.einsum("kab,kbc->ac", ar, bi) + jnp.einsum("kab,kbc->ac", ai, br)
+    return jnp.stack([rr, ri])
+
+
 def _cinv(a):
     """Complex inverse of a (2, bs, bs) plane block via the real 2bs x 2bs
     embedding [[A, -B], [B, A]]; its inverse is [[C, -D], [D, C]] with
@@ -89,27 +111,49 @@ def rowmajor_from_bdia(op) -> tuple:
 
 def banded_lu(op) -> BandedLU:
     """Factor a BDIAOperator in place of its band.  Jittable; nb sequential
-    scan steps, each O(h^2) block matmuls + one block inverse."""
+    scan steps.  Each step's O(h^2) block products run as TWO batched MXU
+    matmuls (L = rows @ invD over i; upd = L_i U_j over (i, j)) rather than
+    a Python loop of h^2 individual 128-wide matmuls -- the loop form is
+    what made the factorization chain the tok8192 bottleneck (BENCH docs).
+
+    Scatter geometry: row i (i = 1..h) takes L_i at band column h-i and
+    -upd[i, j] at columns h+j-i (j = 1..h, a contiguous run).  Both are
+    realized by placing blocks at FIXED columns (h and h+1..2h) and rolling
+    row i left by i; the roll wraps columns < i, which are zero by
+    construction, so nothing contaminates."""
     W, h = rowmajor_from_bdia(op)
     nb = op.n // op.block
     bs = op.block
     invD0 = jnp.zeros((nb, 2, bs, bs), op.data.dtype)
+    ivec = jnp.arange(1, h + 1)
+
+    def roll_rows(rows):
+        return jax.vmap(lambda r, s: jnp.roll(r, -s, axis=0))(rows, ivec)
+
+    # mask[i] marks band column h-i (the L slot) after the roll
+    lmask = roll_rows(jnp.concatenate(
+        [jnp.zeros((h, h)), jnp.ones((h, 1)), jnp.zeros((h, h))],
+        axis=1)[..., None])[..., 0].astype(op.data.dtype)
+    lmask5 = lmask[:, :, None, None, None]
 
     def step(carry, k):
         W, invD = carry
         # rows k .. k+h of the band
         win = jax.lax.dynamic_slice_in_dim(W, k, h + 1, axis=0)
         iD = _cinv(win[0, h])
-        new_rows = [win[0]]
-        for i in range(1, h + 1):
-            row = win[i]
-            L = _cmm(row[h - i], iD)
-            row = row.at[h - i].set(L)
-            for j in range(1, h + 1):
-                row = row.at[h + j - i].add(-_cmm(L, win[0, h + j]))
-            new_rows.append(row)
-        W = jax.lax.dynamic_update_slice_in_dim(
-            W, jnp.stack(new_rows), k, axis=0)
+        if h:
+            Lsrc = win[ivec, h - ivec]                     # (h, 2, bs, bs)
+            L = _cmm_b(Lsrc, iD[None])                     # (h, 2, bs, bs)
+            U = win[0, h + 1:]                             # (h, 2, bs, bs)
+            upd = _cmm_b(L[:, None], U[None])              # (h, h, 2, .., ..)
+            zpad = jnp.zeros((h, h + 1, 2, bs, bs), W.dtype)
+            upd_placed = roll_rows(jnp.concatenate([zpad, upd], axis=1))
+            l_placed = roll_rows(jnp.concatenate(
+                [zpad[:, :h], L[:, None], zpad[:, :h]], axis=1))
+            new_lower = ((win[1:] - upd_placed) * (1.0 - lmask5)
+                         + l_placed * lmask5)
+            W = jax.lax.dynamic_update_slice_in_dim(
+                W, jnp.concatenate([win[:1], new_lower]), k, axis=0)
         invD = jax.lax.dynamic_update_slice_in_dim(
             invD, iD[None], k, axis=0)
         return (W, invD), None
@@ -139,13 +183,13 @@ def banded_solve(lu: BandedLU, xr, xi):
 
     W = lu.W
 
-    # forward: y[k] = b[k] - sum_{i=1..h} L[k, -i] y[k-i]
+    # forward: y[k] = b[k] - sum_{i=1..h} L[k, -i] y[k-i]; the h-term sum is
+    # ONE contraction over the stacked window (win[c] pairs with row[c],
+    # c = h-i), not h separate block matvecs
     def fwd(win, k):
         # win: (h, 2, bs, r) = y[k-h .. k-1] (zeros for k-i < 0)
         row = jax.lax.dynamic_index_in_dim(W, k, axis=0, keepdims=False)
-        y = b[k]
-        for i in range(1, h + 1):
-            y = y - cmv(row[h - i], win[h - i])
+        y = b[k] - _cmm_sum(row[:h], win) if h else b[k]
         win = jnp.concatenate([win[1:], y[None]], axis=0)
         return win, y
 
@@ -157,9 +201,7 @@ def banded_solve(lu: BandedLU, xr, xi):
         # win: (h, 2, bs, r) = z[k+1 .. k+h] (zeros past the edge)
         row = jax.lax.dynamic_index_in_dim(W, k, axis=0, keepdims=False)
         iD = jax.lax.dynamic_index_in_dim(lu.invD, k, axis=0, keepdims=False)
-        t = y[k]
-        for j in range(1, h + 1):
-            t = t - cmv(row[h + j], win[j - 1])
+        t = y[k] - _cmm_sum(row[h + 1:], win) if h else y[k]
         z = cmv(iD, t)
         win = jnp.concatenate([z[None], win[:-1]], axis=0)
         return win, z
@@ -202,30 +244,40 @@ def banded_selected_inverse(lu: BandedLU):
     nb, bs, h = lu.nb, lu.block, lu.h
     W, invD = lu.W, lu.invD
 
+    # static gather geometry for Zsel[dj-1, dk-1] = Z_{i+dk, i+dj}:
+    # win[dk-1, dj-dk] when dj >= dk, else the symmetric mirror
+    # transpose(win[dj-1, dk-dj])
+    import numpy as _np
+    djv = _np.arange(1, h + 1)[:, None]
+    dkv = _np.arange(1, h + 1)[None, :]
+    lower = djv >= dkv
+    sel_a = jnp.asarray(_np.where(lower, dkv - 1, djv - 1))
+    sel_b = jnp.asarray(_np.where(lower, djv - dkv, dkv - djv))
+    tflag = jnp.asarray(~lower)[..., None, None, None]
+
+    def _cmm_sum_rows(a, b):
+        """out[j] = sum_k a[k] @ b[j, k] on planes."""
+        ar, ai = a[:, 0], a[:, 1]
+        br, bi = b[:, :, 0], b[:, :, 1]
+        rr = (jnp.einsum("kab,jkbc->jac", ar, br)
+              - jnp.einsum("kab,jkbc->jac", ai, bi))
+        ri = (jnp.einsum("kab,jkbc->jac", ar, bi)
+              + jnp.einsum("kab,jkbc->jac", ai, br))
+        return jnp.stack([rr, ri], axis=1)
+
     def step(win, i):
         # win[t] = Zu row (i + 1 + t), t = 0..h-1 (zeros beyond the edge)
         row_w = jax.lax.dynamic_index_in_dim(W, i, axis=0, keepdims=False)
         iD = jax.lax.dynamic_index_in_dim(invD, i, axis=0, keepdims=False)
-        ut = [_cmm(iD, row_w[h + dk]) for dk in range(1, h + 1)]
-
-        z_row = [None] * (h + 1)
-        for dj in range(h, 0, -1):          # Z_{i, i+dj}
-            acc = jnp.zeros_like(iD)
-            for dk in range(1, h + 1):
-                if dj >= dk:
-                    zkj = win[dk - 1][dj - dk]
-                else:
-                    zkj = _ct(win[dj - 1][dk - dj])   # mirror: Z symmetric
-                acc = acc + _cmm(ut[dk - 1], zkj)
-            z_row[dj] = -acc
-        acc = jnp.zeros_like(iD)
-        for dk in range(1, h + 1):
-            acc = acc + _cmm(ut[dk - 1], _ct(z_row[dk]))
-        z_row[0] = iD - acc
-
-        z_row = jnp.stack(z_row)            # (h+1, 2, bs, bs)
-        new_win = jnp.concatenate([z_row[None], win[:-1]], axis=0) if h \
-            else win
+        if h == 0:
+            return win, iD[None]
+        ut = _cmm_b(iD[None], row_w[h + 1:])          # (h, 2, bs, bs)
+        Zsel = win[sel_a, sel_b]                      # (h, h, 2, bs, bs)
+        Zsel = jnp.where(tflag, _ct(Zsel), Zsel)
+        z_off = -_cmm_sum_rows(ut, Zsel)              # rows dj = 1..h
+        z0 = iD - _cmm_sum(ut, _ct(z_off))
+        z_row = jnp.concatenate([z0[None], z_off])    # (h+1, 2, bs, bs)
+        new_win = jnp.concatenate([z_row[None], win[:-1]], axis=0)
         return new_win, z_row
 
     win0 = jnp.zeros((h, h + 1, 2, bs, bs), W.dtype)

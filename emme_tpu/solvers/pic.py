@@ -129,22 +129,15 @@ def _omega_d_integral(p, eta, v_para):
 
 
 def _gather_cic_matmul(table, idx, nf, chunk: int = 8192):
-    """Gather rows of ``table`` (nf, c) at marker cells as one-hot MXU
-    matmuls -- the mirror of ``_deposit_matmul`` (TPU dynamic gathers from a
-    1M-marker index vector cost ~50 ms/step; this runs in ~1 ms)."""
-    m = idx.shape[0]
-    n_chunks = max(1, -(-m // chunk))
-    pad = n_chunks * chunk - m
-    if pad:
-        idx = jnp.pad(idx, (0, pad))
-    idx = idx % nf
-
-    def body(_, ic):
-        oh = jax.nn.one_hot(ic, nf, dtype=table.dtype)     # (chunk, nf)
-        return None, oh @ table
-
-    _, out = jax.lax.scan(body, None, idx.reshape(n_chunks, chunk))
-    return out.reshape(n_chunks * chunk, -1)[:m]
+    """Gather rows of ``table`` (nf, c) at marker cells via ONE flat
+    one-hot product -- XLA recognizes one_hot(idx) @ table and lowers it to
+    a fused HBM-rate gather (measured 0.09 ms at 1M x 1024 on v5e,
+    benchmarks/micro_pic_primitives.py).  The round-2/3 form chunked this
+    through a lax.scan (8192-marker one-hot matmuls); the 128 sequential
+    dispatch-dependent iterations made it 26x slower (2.33 ms) and the
+    dominant PIC cost.  ``chunk`` is kept for API compatibility (unused)."""
+    oh = jax.nn.one_hot(idx % nf, nf, dtype=table.dtype)   # (m, nf), fused
+    return oh @ table
 
 
 def gather_cic(field, idx, w, nf, cw, method: str | None = None):
