@@ -43,6 +43,12 @@ def main(argv=None):
                          "mesh: sharded assembly (dense), SPIKE-distributed "
                          "banded Newton solve (sparse), marker-sharded PIC; "
                          "equivalent to input key \"mesh\": {\"rows\": N}")
+    ap.add_argument("--mesh-scan", type=int, default=None,
+                    help="2-D rows x scan topology: split rows*scan devices "
+                         "into scan disjoint row groups and run that many "
+                         "scan points (or shifts) concurrently, each solve "
+                         "sharded over its group; equivalent to "
+                         "\"mesh\": {\"rows\": R, \"scan\": S}")
     ap.add_argument("--debug", action="store_true",
                     help="EMME_DEBUG analogue: NaN-raising jits + input "
                          "dimension/positivity validation")
@@ -52,11 +58,12 @@ def main(argv=None):
     import os
     if args.mesh_rows and args.mesh_rows > 1 and args.device != "tpu":
         # a CPU mesh needs virtual devices; must be set before jax init
+        need = args.mesh_rows * (args.mesh_scan or 1)
         flags = os.environ.get("XLA_FLAGS", "")
         if "xla_force_host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
                 flags + " --xla_force_host_platform_device_count"
-                        f"={args.mesh_rows}").strip()
+                        f"={need}").strip()
 
     import jax
     if args.device == "cpu":
@@ -73,7 +80,8 @@ def main(argv=None):
                checkpoint=not args.no_checkpoint, verbose=not args.quiet,
                chunk=args.chunk, host64=args.host64,
                scan_workers=args.scan_workers, scan_mode=args.scan_mode,
-               mesh_rows=args.mesh_rows, debug=args.debug)
+               mesh_rows=args.mesh_rows, mesh_scan=args.mesh_scan,
+               debug=args.debug)
     return 0
 
 

@@ -348,7 +348,7 @@ _SOLVERS = {"eigen": solve_once_eigen, "PIC": solve_once_pic}
 
 def _run_scan_parallel(solver, input_cfg, key, spec, guess, outdir, done,
                        record_ckpt, scan_workers, verbose, solver_kw,
-                       mode: str = "wavefront"):
+                       mode: str = "wavefront", meshes=None):
     """Device-parallel scan: scan points fan out over the available devices
     (the SURVEY §2 plan's embarrassingly-parallel scan axis, realized at
     driver level).
@@ -367,7 +367,15 @@ def _run_scan_parallel(solver, input_cfg, key, spec, guess, outdir, done,
 
     jax.default_device is a thread-local config context, so each worker
     pins its arrays (and hence its jitted executions) to its own device;
-    compiled executables are shared across workers."""
+    compiled executables are shared across workers.
+
+    ``meshes`` (the rows x scan topology, ``"mesh": {"rows": R, "scan": S}``):
+    a list of S disjoint R-device ``rows`` meshes; worker i solves its scan
+    point DISTRIBUTED over mesh i mod S instead of pinned to one device --
+    the driver-level realization of the 2-D mesh (scan axis = concurrent
+    scan points across device groups, rows axis = in-solve sharding)."""
+    import contextlib
+
     devices = jax.devices()
     values, turnings = scan_values(spec)
     cfg0 = filter_input(input_cfg)
@@ -381,10 +389,15 @@ def _run_scan_parallel(solver, input_cfg, key, spec, guess, outdir, done,
         cfg = dict(cfg0)
         cfg[key] = value
         mfile = outdir / "eigenMatrics" / f"{key}Eq{value:.6f}.bin"
-        with jax.default_device(devices[i % len(devices)]):
+        if meshes is not None:
+            ctx = contextlib.nullcontext()
+            kw = dict(solver_kw, mesh=meshes[i % len(meshes)])
+        else:
+            ctx = jax.default_device(devices[i % len(devices)])
+            kw = solver_kw
+        with ctx:
             try:
-                res, _ = solver(cfg, seed_omega, matrix_file=mfile,
-                                **solver_kw)
+                res, _ = solver(cfg, seed_omega, matrix_file=mfile, **kw)
                 res["eigenMatrix"] = str(mfile)
                 res["scan_value"] = value
             except Exception as e:  # scan-level fault tolerance
@@ -442,7 +455,8 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
         dtype=jnp.float64, checkpoint: bool = True, verbose: bool = True,
         quad=None, chunk: int = 2048, host64: bool = False,
         scan_workers: int = 1, scan_mode: str = "wavefront",
-        mesh_rows: int | None = None, debug: bool = False) -> dict:
+        mesh_rows: int | None = None, mesh_scan: int | None = None,
+        debug: bool = False) -> dict:
     """Execute the full (possibly scanning) job; writes output.json and
     binary matrix dumps under ``output_dir``; returns the result object.
 
@@ -454,9 +468,18 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
     distribute every solve over an N-device ``rows`` mesh -- sharded
     kernel-integral assembly for the dense backend, the fully distributed
     SPIKE banded Newton solve for the sparse backend, marker-sharded psum
-    deposition for PIC.  Mutually exclusive with scan_workers > 1 (the scan
-    axis and the rows axis compete for the same devices; use
-    ``"mesh": {"rows": N}`` with N < device count to leave room)."""
+    deposition for PIC.
+
+    ``mesh_scan`` / ``"mesh": {"rows": R, "scan": S}``: the 2-D topology --
+    the R*S devices split into S disjoint R-device row groups; scan points
+    (or ``"shifts"``) run S at a time in continuation-preserving wavefront
+    batches, each solve sharded over its group's rows axis (BASELINE
+    config 5: shifts across hosts, operator across each host's chips).
+
+    ``"shifts": [[re, im], ...]`` (eigen method): multi-shift run -- every
+    shift seeds an independent solve (add ``"m_krylov"`` for a shift-invert
+    Arnoldi stage per shift on the sparse backend); results land under
+    result["shifts"] in shift order."""
     if scan_mode not in ("wavefront", "independent"):
         raise ValueError(f"scan_mode must be 'wavefront' or 'independent', "
                          f"got {scan_mode!r}")
@@ -475,18 +498,40 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
 
     mesh_cfg = input_cfg.get("mesh") or {}
     rows = mesh_rows if mesh_rows is not None else mesh_cfg.get("rows")
+    scan_groups = int(mesh_scan if mesh_scan is not None
+                      else mesh_cfg.get("scan", 1))
     mesh = None
+    meshes = None
     if rows:
-        if scan_workers > 1:
-            raise ValueError("mesh and scan_workers > 1 are mutually "
-                             "exclusive")
+        if scan_workers > 1 and scan_groups <= 1:
+            raise ValueError(
+                "mesh with scan_workers > 1 needs an explicit scan axis: "
+                'use "mesh": {"rows": R, "scan": S} (the rows and scan '
+                "axes partition the same devices)")
         from .parallel import mesh as mesh_mod
         devices = jax.devices()
-        if len(devices) < int(rows):
+        need = int(rows) * scan_groups
+        if len(devices) < need:
             # fall back to the (possibly virtual) CPU backend, as
             # dryrun_multichip does on single-accelerator hosts
             devices = jax.devices("cpu")
-        mesh = mesh_mod.make_mesh(n_rows=int(rows), devices=devices)
+        if len(devices) < need:
+            raise ValueError(
+                f"mesh rows={rows} x scan={scan_groups} needs {need} "
+                f"devices, have {len(devices)}")
+        if scan_groups > 1:
+            # rows x scan: S disjoint R-device row-meshes; scan points (or
+            # shifts) fan out over the groups in wavefront batches while
+            # every solve shards over its group's rows axis
+            meshes = [
+                mesh_mod.make_mesh(
+                    n_rows=int(rows),
+                    devices=devices[g * int(rows):(g + 1) * int(rows)])
+                for g in range(scan_groups)]
+            mesh = meshes[0]
+            scan_workers = scan_groups
+        else:
+            mesh = mesh_mod.make_mesh(n_rows=int(rows), devices=devices)
 
     outdir = pathlib.Path(output_dir)
     (outdir / "eigenMatrics").mkdir(parents=True, exist_ok=True)
@@ -529,7 +574,57 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
                 json.dump(data, f)
             os.replace(tmp, ckpt_path)
 
-    if not scan_config:
+    shifts = input_cfg.get("shifts")
+    if shifts is not None:
+        # multi-shift eigensolve (BASELINE config 5): every shift seeds its
+        # own solve; shifts fan out over the scan device groups (rows x scan
+        # mesh) or over plain devices.  Use "m_krylov" in the input for a
+        # shift-invert Arnoldi stage per shift (sparse backend).
+        if method != "eigen":
+            raise ValueError('"shifts" requires method "eigen"')
+        if scan_config:
+            raise ValueError('"shifts" and scan dimensions are mutually '
+                             "exclusive (one batch axis per run)")
+        sigmas = [complex(s[0], s[1]) for s in shifts]
+        workers = scan_workers if scan_workers > 1 else \
+            (len(meshes) if meshes else 1)
+        cfg0 = filter_input(input_cfg)
+        devices = jax.devices()
+
+        def one_shift(item):
+            import contextlib
+            i, sig = item
+            mfile = outdir / "eigenMatrics" / f"shift{i}.bin"
+            if meshes is not None:
+                ctx = contextlib.nullcontext()
+                m_i = meshes[i % len(meshes)]
+            else:
+                ctx = jax.default_device(devices[i % len(devices)])
+                m_i = mesh
+            with ctx:
+                try:
+                    res, _ = solver(cfg0, sig, matrix_file=mfile,
+                                    dtype=dtype, quad=quad, chunk=chunk,
+                                    host64=host64, mesh=m_i)
+                    res["eigenMatrix"] = str(mfile)
+                except Exception as e:
+                    res = {"eigenvalue": "NaN", "reason": str(e)}
+            res["shift"] = [sig.real, sig.imag]
+            if verbose:
+                print(f"    shift {sig}  ->  {res.get('eigenvalue')}")
+            return res
+
+        items = list(enumerate(sigmas))
+        if workers > 1:
+            with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+                out = list(ex.map(one_shift, items))
+        else:
+            out = [one_shift(it) for it in items]
+        result["result"]["shifts"] = {
+            "scan_key": "shifts",
+            "scan_values": [[s.real, s.imag] for s in sigmas],
+            "scan_result": out}
+    elif not scan_config:
         unit = {"scan_key": "(None)", "scan_result": []}
         mfile = outdir / "eigenMatrics" / "eigenMatrix.bin"
         res, _ = solver(input_cfg, guess, matrix_file=mfile, dtype=dtype,
@@ -538,14 +633,18 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
         result["result"]["(None)"] = unit
     elif scan_workers > 1:
         solver_kw = dict(dtype=dtype, quad=quad, chunk=chunk, host64=host64)
+        if meshes is None:
+            solver_kw["mesh"] = mesh
         for key, spec in scan_config.items():
             if verbose:
                 print(f"\nScanning {key} ({scan_workers} workers, "
-                      f"{len(jax.devices())} devices)")
+                      f"{len(jax.devices())} devices"
+                      + (f", {len(meshes)}x{meshes[0].shape['rows']}-device "
+                         f"row meshes" if meshes else "") + ")")
             result["result"][key] = _run_scan_parallel(
                 solver, input_cfg, key, spec, guess, outdir, done,
                 record_ckpt, scan_workers, verbose, solver_kw,
-                mode=scan_mode)
+                mode=scan_mode, meshes=meshes)
     else:
         for key, spec in scan_config.items():
             cfg = filter_input(input_cfg)

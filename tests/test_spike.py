@@ -196,3 +196,48 @@ def test_sharded_nullspace(tokamak_cfg):
     w = np.asarray(wr) + 1j * np.asarray(wi)
     corr = abs(np.vdot(v, w)) / (np.linalg.norm(v) * np.linalg.norm(w))
     assert corr > 1 - 1e-9
+
+
+def test_driver_mesh_rows_scan_end_to_end(tmp_path, tokamak_cfg):
+    """The 2-D rows x scan topology from the input file: 4 scan points run
+    2 at a time, each solve SPIKE-distributed over its own 2-device row
+    group; converged eigenvalues must match the meshless sequential scan
+    (both converge to |d_omega| < 1e-6 |omega| from slightly different
+    continuation seeds)."""
+    from emme_tpu import driver
+    base = dict(tokamak_cfg, npoints=128, method="eigen",
+                eigen_backend="sparse", band_block=8, band_deta=10.0,
+                initial_guess=[-0.8, 0.25], iteration_precision=1e-6,
+                quad_guard="off",
+                eta_i={"head": 3.13, "step": 0.1, "tail": 3.43})
+    r0 = driver.run(base, output_dir=tmp_path / "seq", verbose=False,
+                    quad=QUAD)
+    r1 = driver.run(dict(base, mesh={"rows": 2, "scan": 2}),
+                    output_dir=tmp_path / "mesh2x2", verbose=False,
+                    quad=QUAD)
+    res0 = r0["result"]["eta_i"]["scan_result"]
+    res1 = r1["result"]["eta_i"]["scan_result"]
+    assert len(res0) == len(res1) == 4
+    for a, b in zip(res0, res1):
+        ea = complex(*a["eigenvalue"])
+        eb = complex(*b["eigenvalue"])
+        assert abs(ea - eb) / abs(ea) < 1e-5
+
+
+def test_driver_shifts_rows_scan(tmp_path, tokamak_cfg):
+    """BASELINE config 5 surface: "shifts" in the input fan out over the
+    scan groups, each solve sharded over its group's rows axis."""
+    from emme_tpu import driver
+    base = dict(tokamak_cfg, npoints=128, method="eigen",
+                eigen_backend="sparse", band_block=8, band_deta=10.0,
+                iteration_precision=1e-6, quad_guard="off",
+                shifts=[[-0.8, 0.25], [-0.75, 0.3]],
+                mesh={"rows": 2, "scan": 2})
+    r = driver.run(base, output_dir=tmp_path / "shifts", verbose=False,
+                   quad=QUAD)
+    out = r["result"]["shifts"]["scan_result"]
+    assert len(out) == 2
+    evs = [complex(*o["eigenvalue"]) for o in out]
+    # both shifts converge to the same (banded) tok128 eigenvalue
+    assert abs(evs[0] - evs[1]) / abs(evs[0]) < 1e-4
+    assert out[0]["shift"] == [-0.8, 0.25]
