@@ -16,7 +16,9 @@ from emme_tpu.parallel import spike
 from emme_tpu.solvers import sparse_eigen
 
 
-QUAD = {"n_shoulder": 12, "n_osc": 24, "n_tail": 6}
+# light panel meshes: every test here compares sharded-vs-single-device
+# on the SAME operator, so quadrature depth only sets the cost
+QUAD = {"n_shoulder": 8, "n_osc": 16, "n_tail": 4}
 
 
 def _mesh(rows):
@@ -24,7 +26,7 @@ def _mesh(rows):
                               devices=jax.devices("cpu")[:rows])
 
 
-def _tok_op(tokamak_cfg, n=128, bs=8, h=3):
+def _tok_op_build(tokamak_cfg, n=64, bs=8, h=2):
     cfg = dict(tokamak_cfg, npoints=n)
     p = from_config(cfg)
     grid = Grid.create(p.length, p.npoints)
@@ -34,8 +36,19 @@ def _tok_op(tokamak_cfg, n=128, bs=8, h=3):
     return p, grid, cband, op
 
 
-def test_assemble_window_matches_global(tokamak_cfg):
-    p, grid, cband, op = _tok_op(tokamak_cfg)
+@pytest.fixture(scope="module")
+def tok_op(tokamak_cfg):
+    """The shared n=128 banded operator (assembly is the dominant cost of
+    this module; build it once)."""
+    return _tok_op_build(tokamak_cfg)
+
+
+def _tok_op(tokamak_cfg, n=128, bs=8, h=3):
+    return _tok_op_build(tokamak_cfg, n, bs, h)
+
+
+def test_assemble_window_matches_global(tok_op):
+    p, grid, cband, op = tok_op
     nb = op.n // op.block
     h = max(op.offsets)
     # windows tile the matrix; stacked windows must reproduce the global data
@@ -48,6 +61,7 @@ def test_assemble_window_matches_global(tokamak_cfg):
                                rtol=0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_assemble_window_matches_global_em(stellarator_cfg):
     cfg = dict(stellarator_cfg, npoints=32)
     p = from_config(cfg)
@@ -68,8 +82,8 @@ def test_assemble_window_matches_global_em(stellarator_cfg):
                                rtol=0, atol=1e-12)
 
 
-def test_sharded_assembly_matches(tokamak_cfg):
-    p, grid, cband, op = _tok_op(tokamak_cfg)
+def test_sharded_assembly_matches(tok_op):
+    p, grid, cband, op = tok_op
     mesh = _mesh(4)
     with mesh:
         op_s = spike.sharded_assemble_bdia(p, grid, cband, -0.8 + 0.25j,
@@ -79,8 +93,8 @@ def test_sharded_assembly_matches(tokamak_cfg):
     np.testing.assert_allclose(data, np.asarray(op.data), rtol=0, atol=1e-12)
 
 
-def test_spike_solve_matches_banded(tokamak_cfg):
-    p, grid, cband, op = _tok_op(tokamak_cfg)
+def test_spike_solve_matches_banded(tok_op):
+    p, grid, cband, op = tok_op
     rng = np.random.default_rng(0)
     fr = jnp.asarray(rng.normal(size=op.n))
     fi = jnp.asarray(rng.normal(size=op.n))
@@ -88,7 +102,11 @@ def test_spike_solve_matches_banded(tokamak_cfg):
     zr_ref, zi_ref = banded.banded_solve(lu, fr, fi)
     mesh = _mesh(4)
     with mesh:
-        zr, zi = spike.sharded_solve_vec(op, mesh, fr, fi)
+        # jit the shard_map program (eager shard_map dispatches each traced
+        # primitive separately -- minutes of pure dispatch on this host)
+        zr, zi = jax.jit(lambda d, a, b: spike.sharded_solve_vec(
+            BDIAOperator(data=d, offsets=op.offsets, n=op.n,
+                         block=op.block), mesh, a, b))(op.data, fr, fi)
         zr, zi = jax.device_get((zr, zi))
     scale = np.abs(np.asarray(zr_ref)).max()
     np.testing.assert_allclose(zr, np.asarray(zr_ref), rtol=0,
@@ -97,8 +115,8 @@ def test_spike_solve_matches_banded(tokamak_cfg):
                                atol=1e-10 * scale)
 
 
-def test_spike_trace_matches_takahashi(tokamak_cfg):
-    p, grid, cband, op = _tok_op(tokamak_cfg)
+def test_spike_trace_matches_takahashi(tok_op):
+    p, grid, cband, op = tok_op
     # dM from a nearby omega (a real secant difference, not a toy)
     op2 = sparse_eigen.assemble_bdia(p, grid, cband, -0.81 + 0.26j,
                                      max(op.offsets), op.block, quad=QUAD)
@@ -109,11 +127,16 @@ def test_spike_trace_matches_takahashi(tokamak_cfg):
     tr_ref = complex(float(tr_ref_r), float(tr_ref_i))
     mesh = _mesh(4)
     with mesh:
-        dr, di = spike.sharded_trace_d_omega(op, dM, mesh)
+        dr, di = jax.jit(lambda a, b: spike.sharded_trace_d_omega(
+            BDIAOperator(data=a, offsets=op.offsets, n=op.n,
+                         block=op.block),
+            BDIAOperator(data=b, offsets=dM.offsets, n=dM.n,
+                         block=dM.block), mesh))(op.data, dM.data)
         got = -1.0 / complex(float(dr), float(di))
     assert abs(got - tr_ref) / abs(tr_ref) < 1e-10
 
 
+@pytest.mark.slow
 def test_sharded_solve_end_to_end_matches(tokamak_cfg, golden_eigenvalues):
     # the whole distributed Newton walk (sharded assembly + SPIKE trace +
     # secant) must match the single-device sparse solve to f64 roundoff --
@@ -135,6 +158,7 @@ def test_sharded_solve_end_to_end_matches(tokamak_cfg, golden_eigenvalues):
     assert abs(om - golden) / abs(golden) < 2e-2  # band_deta=10 truncation
 
 
+@pytest.mark.slow
 def test_driver_mesh_sparse_end_to_end(tmp_path, tokamak_cfg):
     # product surface: `"mesh": {"rows": N}` in the input JSON routes the
     # sparse backend through the distributed SPIKE solve; omega must match
@@ -158,6 +182,7 @@ def test_driver_mesh_sparse_end_to_end(tmp_path, tokamak_cfg):
     assert op.n == 128
 
 
+@pytest.mark.slow
 def test_driver_mesh_dense_end_to_end(tmp_path, tokamak_cfg):
     from emme_tpu import driver
     base = dict(tokamak_cfg, npoints=64, method="eigen",
@@ -182,11 +207,13 @@ def test_driver_mesh_pic(tmp_path, tokamak_cfg):
     assert np.isfinite(ev).all()
 
 
-def test_sharded_nullspace(tokamak_cfg):
-    p, grid, cband, op = _tok_op(tokamak_cfg)
+def test_sharded_nullspace(tok_op):
+    p, grid, cband, op = tok_op
     mesh = _mesh(4)
     with mesh:
-        vr, vi = spike.sharded_nullspace(op, mesh)
+        vr, vi = jax.jit(lambda d: spike.sharded_nullspace(
+            BDIAOperator(data=d, offsets=op.offsets, n=op.n,
+                         block=op.block), mesh))(op.data)
         vr, vi = jax.device_get((vr, vi))
     # same amplified direction as the single-device inverse iteration
     lu = banded.banded_lu(op)
@@ -198,6 +225,7 @@ def test_sharded_nullspace(tokamak_cfg):
     assert corr > 1 - 1e-9
 
 
+@pytest.mark.slow
 def test_driver_mesh_rows_scan_end_to_end(tmp_path, tokamak_cfg):
     """The 2-D rows x scan topology from the input file: 4 scan points run
     2 at a time, each solve SPIKE-distributed over its own 2-device row
@@ -224,6 +252,7 @@ def test_driver_mesh_rows_scan_end_to_end(tmp_path, tokamak_cfg):
         assert abs(ea - eb) / abs(ea) < 1e-5
 
 
+@pytest.mark.slow
 def test_driver_shifts_rows_scan(tmp_path, tokamak_cfg):
     """BASELINE config 5 surface: "shifts" in the input fan out over the
     scan groups, each solve sharded over its group's rows axis."""
@@ -241,3 +270,56 @@ def test_driver_shifts_rows_scan(tmp_path, tokamak_cfg):
     # both shifts converge to the same (banded) tok128 eigenvalue
     assert abs(evs[0] - evs[1]) / abs(evs[0]) < 1e-4
     assert out[0]["shift"] == [-0.8, 0.25]
+
+
+def test_block_tridiag_selected_inverse():
+    """_bt_factor/_bt_solve/_bt_z_band vs the dense inverse on a random
+    unit-diagonal block-tridiagonal complex matrix (S=5 blocks of 6)."""
+    rng = np.random.default_rng(3)
+    S, n2 = 5, 6
+    Rsup = [jnp.asarray(np.stack([0.3 * rng.normal(size=(n2, n2)),
+                                  0.3 * rng.normal(size=(n2, n2))]))
+            for _ in range(S - 1)]
+    Rsub = [jnp.asarray(np.stack([0.3 * rng.normal(size=(n2, n2)),
+                                  0.3 * rng.normal(size=(n2, n2))]))
+            for _ in range(S - 1)]
+    D, Ebar = spike._bt_factor(Rsup, Rsub, S, n2, jnp.float64)
+
+    # dense assembly
+    r = S * n2
+    Rd = np.eye(r, dtype=np.complex128)
+    for s in range(S - 1):
+        Rd[s*n2:(s+1)*n2, (s+1)*n2:(s+2)*n2] = \
+            np.asarray(Rsup[s][0]) + 1j * np.asarray(Rsup[s][1])
+        Rd[(s+1)*n2:(s+2)*n2, s*n2:(s+1)*n2] = \
+            np.asarray(Rsub[s][0]) + 1j * np.asarray(Rsub[s][1])
+    Zd_dense = np.linalg.inv(Rd)
+
+    # solve
+    b = [jnp.asarray(np.stack([rng.normal(size=(n2, 3)),
+                               rng.normal(size=(n2, 3))])) for _ in range(S)]
+    x = spike._bt_solve(Rsup, Rsub, D, b, S)
+    bd = np.concatenate([np.asarray(bb[0]) + 1j * np.asarray(bb[1])
+                         for bb in b])
+    xd = np.linalg.solve(Rd, bd)
+    xs = np.concatenate([np.asarray(xx[0]) + 1j * np.asarray(xx[1])
+                         for xx in x])
+    assert np.abs(xs - xd).max() < 1e-10
+
+    # selected inverse band
+    Zd, Zsup1, Zsub1, Zsup2, Zsub2 = spike._bt_z_band(Rsup, Rsub, D, Ebar, S)
+    def blk(z):
+        return np.asarray(z[0]) + 1j * np.asarray(z[1])
+    for s in range(S):
+        assert np.abs(blk(Zd[s]) -
+                      Zd_dense[s*n2:(s+1)*n2, s*n2:(s+1)*n2]).max() < 1e-10
+    for s in range(S - 1):
+        assert np.abs(blk(Zsup1[s]) -
+                      Zd_dense[s*n2:(s+1)*n2, (s+1)*n2:(s+2)*n2]).max() < 1e-10
+        assert np.abs(blk(Zsub1[s]) -
+                      Zd_dense[(s+1)*n2:(s+2)*n2, s*n2:(s+1)*n2]).max() < 1e-10
+    for s in range(S - 2):
+        assert np.abs(blk(Zsup2[s]) -
+                      Zd_dense[s*n2:(s+1)*n2, (s+2)*n2:(s+3)*n2]).max() < 1e-10
+        assert np.abs(blk(Zsub2[s]) -
+                      Zd_dense[(s+2)*n2:(s+3)*n2, s*n2:(s+1)*n2]).max() < 1e-10

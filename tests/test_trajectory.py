@@ -72,7 +72,9 @@ def test_native_trajectory_matches_reference(method, tokamak_cfg,
     _assert_walk(omegas, trajectories[f"tok32_{method}"], 1e-8)
 
 
-@pytest.mark.parametrize("method", ["TraceSecant", "QRSecant"])
+@pytest.mark.parametrize("method", [
+    "TraceSecant",
+    pytest.param("QRSecant", marks=pytest.mark.slow)])
 def test_jax_trajectory_matches_reference(method, tokamak_cfg, trajectories):
     """The JAX dense path (static panel quadrature) walks the same sequence;
     tolerance reflects the panel-vs-adaptive assembly difference (~1e-5 of
@@ -85,6 +87,7 @@ def test_jax_trajectory_matches_reference(method, tokamak_cfg, trajectories):
     _assert_walk(omegas, golden, 5e-5)
 
 
+@pytest.mark.slow
 def test_trajectory_discriminates_methods(tokamak_cfg, trajectories):
     """The QRSecant golden walk must NOT be satisfied by BorderedSecant
     (same fixed point, different steps) -- proves the parity tests above
