@@ -296,19 +296,25 @@ def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
                 record_fields=matrix_file is not None)
         elif cfg.get("pic_sorted"):
             # sorted-window marker path (cell-local one-hot CIC over
-            # W-cell windows; exact, with a zero-violation runtime proof);
-            # pays off at large npoints where the full-width one-hot
-            # matmuls scale with the grid (BENCH docs)
+            # W-cell windows; exact, with a zero-violation runtime proof)
             stats, state, viols = pic.run_sorted(
                 p, mpc, nt, dt, key=key,
                 resort_every=int(cfg.get("pic_resort_every", 30)),
-                window=int(cfg.get("pic_window", 256)),
-                chunk_markers=int(cfg.get("pic_chunk_markers", 16384)))
+                window=int(cfg.get("pic_window", 384)),
+                chunk_markers=int(cfg.get("pic_chunk_markers", 8192)))
             if int(viols):
+                # clamped markers deposit at WRONG cells -- silently wrong
+                # physics.  Hard error by default (the guard derivation
+                # should make this unreachable); opt out explicitly with
+                # pic_allow_window_violations to accept clamped runs.
+                msg = (f"pic_sorted: {int(viols)} marker-stage window "
+                       "violations (markers clamped to their chunk window "
+                       "-- deposits landed at wrong cells); widen "
+                       "pic_window or lower pic_resort_every")
+                if not cfg.get("pic_allow_window_violations"):
+                    raise RuntimeError(msg)
                 import warnings
-                warnings.warn(f"pic_sorted: {int(viols)} marker-stage "
-                              "window violations (clamped); widen "
-                              "pic_window or lower pic_resort_every")
+                warnings.warn(msg)
         elif stream:
             # per-step field history flushed DURING the run (parity with
             # main.cpp:105-110: a killed run keeps the flushed steps)

@@ -128,16 +128,22 @@ def _omega_d_integral(p, eta, v_para):
             * (jnp.sin(eta) * (1.0 + p.shat) - p.shat * eta * jnp.cos(eta)))
 
 
-def _gather_cic_matmul(table, idx, nf, chunk: int = 8192):
-    """Gather rows of ``table`` (nf, c) at marker cells via ONE flat
-    one-hot product -- XLA recognizes one_hot(idx) @ table and lowers it to
-    a fused HBM-rate gather (measured 0.09 ms at 1M x 1024 on v5e,
-    benchmarks/micro_pic_primitives.py).  The round-2/3 form chunked this
-    through a lax.scan (8192-marker one-hot matmuls); the 128 sequential
-    dispatch-dependent iterations made it 26x slower (2.33 ms) and the
-    dominant PIC cost.  ``chunk`` is kept for API compatibility (unused)."""
-    oh = jax.nn.one_hot(idx % nf, nf, dtype=table.dtype)   # (m, nf), fused
-    return oh @ table
+def _gather_cic_matmul(table, idx, nf, chunk: int = 8192, bf16: bool = False):
+    """Gather rows of ``table`` (nf, c) at marker cells as ONE flat
+    TRANSPOSED one-hot matmul: table.T (c, nf) @ one_hot(idx).T (nf, m)
+    -> (c, m).  On the MXU the output M dimension pads to 8 sublanes while
+    N pads to a 128-lane tile, so orienting the c ~ 8 table columns along M
+    (not N) removes a 16x padding waste; measured 0.65 ms vs 2.33 ms for
+    the round-3 chunked-scan form at 1M x 1024 (/tmp micro, v5e).  The
+    one-hot is generated fused into this single consumer (materializing it
+    would be m*nf floats).  ``bf16`` runs the product with bf16 operands
+    (the one-hot is exact in bf16; the table loses ~3 decimal digits --
+    well under the delta-f Monte-Carlo noise, validated statistically in
+    the gamma/omega fit).  Returns (c, m) -- NB transposed relative to the
+    round-3 version; callers index rows.  ``chunk`` kept for API compat."""
+    dt = jnp.bfloat16 if bf16 else table.dtype
+    oh = jax.nn.one_hot(idx % nf, nf, dtype=dt)            # (m, nf), fused
+    return (table.astype(dt).T @ oh.T).astype(table.dtype)
 
 
 def gather_cic(field, idx, w, nf, cw, method: str | None = None):
@@ -147,7 +153,9 @@ def gather_cic(field, idx, w, nf, cw, method: str | None = None):
     difference g[c] = (f[c+1] - f[c-1]) / (2 cw) (identical to the
     reference's four-point stencil, solver_pic.h:96-104).  ``method``:
     'take' (indexed loads; best on CPU), 'matmul' (one-hot MXU gather;
-    best on TPU), or None to pick by backend.
+    best on TPU), 'bf16' (one-hot product with bf16 operands -- ~2x the
+    matmul rate, ~3-digit table truncation under the MC noise), or None
+    to pick by backend.
     """
     if method is None:
         method = "take" if jax.default_backend() == "cpu" else "matmul"
@@ -166,11 +174,12 @@ def gather_cic(field, idx, w, nf, cw, method: str | None = None):
                        jnp.real(fp), jnp.imag(fp),
                        jnp.real(g), jnp.imag(g),
                        jnp.real(gp), jnp.imag(gp)], axis=-1)
-    cols = _gather_cic_matmul(table, idx, nf)
-    f0 = cols[:, 0] + 1j * cols[:, 1]
-    f1 = cols[:, 2] + 1j * cols[:, 3]
-    g0 = cols[:, 4] + 1j * cols[:, 5]
-    g1 = cols[:, 6] + 1j * cols[:, 7]
+    rows = _gather_cic_matmul(table, idx, nf,
+                              bf16=(method == "bf16"))  # (8, m)
+    f0 = rows[0] + 1j * rows[1]
+    f1 = rows[2] + 1j * rows[3]
+    g0 = rows[4] + 1j * rows[5]
+    g1 = rows[6] + 1j * rows[7]
     phi = (1.0 - w) * f0 + w * f1
     dphi = ((1.0 - w) * g0 + w * g1) / (2.0 * cw)
     return phi, dphi
@@ -204,39 +213,27 @@ def _deposit_segment(den, idx, w, nf):
             + jax.ops.segment_sum(den * w, i1, num_segments=nf))
 
 
-def _deposit_matmul(den, idx, w, nf, chunk: int = 8192):
-    """CIC deposition as one-hot MXU matmuls (TPU scatters are ~100x slower
-    than this; cf. the SURVEY plan 'sort-by-cell + segment_sum, or one-hot
-    matmul deposition on the MXU').
+def _deposit_matmul(den, idx, w, nf, chunk: int = 8192, bf16: bool = False):
+    """CIC deposition as ONE flat transposed one-hot matmul (TPU scatters
+    are ~10x slower; cf. the SURVEY plan 'sort-by-cell + segment_sum, or
+    one-hot matmul deposition on the MXU'):
 
-    Per marker chunk: contributions = one_hot(idx)^T @ [re*wl, im*wl,
-    re*wr, im*wr]; the right-node part lands on idx and is then rolled by
-    one cell, which is exactly the periodic (idx + 1) % nf target.  XLA
-    fuses the one-hot generation into the matmul operand tiles, so the
-    (chunk x nf) one-hot never hits HBM."""
-    m = den.shape[0]
-    n_chunks = max(1, -(-m // chunk))
-    pad = n_chunks * chunk - m
+        y = [re*wl, im*wl, re*wr, im*wr].T (4, m) @ one_hot(idx) (m, nf)
+
+    The 4 value columns ride the MXU's M dimension (pads to 8 sublanes)
+    and the contraction runs over all markers at once -- measured 1.05 ms
+    vs 2.11 ms for the round-3 chunked-scan form at 1M x 1024 (v5e).  The
+    right-CIC-node part lands on idx and is rolled by one cell, exactly
+    the periodic (idx + 1) % nf target.  ``chunk`` kept for API compat."""
     wl = (1.0 - w)
+    rdt = jnp.real(den).dtype
     vals = jnp.stack([jnp.real(den) * wl, jnp.imag(den) * wl,
-                      jnp.real(den) * w, jnp.imag(den) * w], axis=-1)
-    if pad:
-        vals = jnp.pad(vals, ((0, pad), (0, 0)))
-        idx = jnp.pad(idx, (0, pad))  # padded lanes carry zero vals
-    idx = idx % nf
-
-    def body(_, args):
-        ic, vc = args
-        oh = jax.nn.one_hot(ic, nf, dtype=vals.dtype)      # (chunk, nf)
-        # partial sums as scan OUTPUTS (a zeros-initialized carry has the
-        # wrong varying-manual-axes type under shard_map)
-        return None, oh.T @ vc
-
-    _, ys = jax.lax.scan(body, None, (idx.reshape(n_chunks, chunk),
-                                      vals.reshape(n_chunks, chunk, 4)))
-    y = ys.sum(axis=0)
-    left = y[:, 0] + 1j * y[:, 1]
-    right = y[:, 2] + 1j * y[:, 3]
+                      jnp.real(den) * w, jnp.imag(den) * w], axis=0)
+    dt = jnp.bfloat16 if bf16 else vals.dtype
+    oh = jax.nn.one_hot(idx % nf, nf, dtype=dt)            # (m, nf), fused
+    y = (vals.astype(dt) @ oh).astype(rdt)                 # (4, nf), f32 acc
+    left = y[0] + 1j * y[1]
+    right = y[2] + 1j * y[3]
     return left + jnp.roll(right, 1)
 
 
@@ -248,7 +245,7 @@ def deposit(den, idx, w, nf, method: str | None = None):
         method = "segment" if jax.default_backend() == "cpu" else "matmul"
     if method == "segment":
         return _deposit_segment(den, idx, w, nf)
-    return _deposit_matmul(den, idx, w, nf)
+    return _deposit_matmul(den, idx, w, nf, bf16=(method == "bf16"))
 
 
 def solve_field(p, s: PICState, qn_coef, density_reduce=None,
@@ -371,16 +368,22 @@ def sort_by_eta(p, s: PICState) -> PICState:
                     p_weight=pw, j0=j0, dc_pb=dr + 1j * di, field=s.field)
 
 
-def _window_bases(p, eta_sorted, n_chunks: int, W: int, G: int, nfe: int):
+def _window_bases(p, eta_sorted, n_chunks: int, W: int, G: int, nfe: int,
+                  quant: int = 1):
     """Per-chunk window starts in EXTENDED cell coordinates, centered on
-    the chunk's sorted span (margin >= (W - span)/2 on both sides)."""
+    the chunk's sorted span (margin >= (W - span)/2 - quant on both sides);
+    ``quant > 1`` floor-quantizes the bases so the deposit fold can bucket
+    chunks by alignment (costs <= quant - 1 cells of right margin)."""
     cw = cell_width(p)
     C = eta_sorted.shape[0] // n_chunks
     idx = jnp.floor((eta_sorted + p.length) / cw).astype(jnp.int32) + G
     first = idx[0::C]
     last = idx[C - 1::C]
     mid = (first + last) // 2
-    return jnp.clip(mid - W // 2, 0, nfe - W - 1)
+    base = jnp.clip(mid - W // 2, 0, nfe - W - 1)
+    if quant > 1:
+        base = (base // quant) * quant
+    return base
 
 
 def _field_table_ext(field, G: int):
@@ -398,79 +401,86 @@ def _field_table_ext(field, G: int):
 
 
 def _gather_windowed(table_ext, eta, w0, W: int, G: int, cw, L):
-    """CIC gather with per-chunk W-cell one-hots (vs nf-cell full-width).
+    """CIC gather with per-chunk W-cell one-hots (vs nf-cell full-width),
+    BATCHED over chunks: one gathered table stack (n_chunks, W, 8) and one
+    batched einsum -- the round-3 form ran the chunks through a sequential
+    ``lax.scan`` of tiny matmuls and LOST to the full-width path (7.6 s vs
+    2.7 s at the canonical case); the batched form wins because the MXU
+    work drops by nf/W while staying one fat dispatch.
     Returns (phi, dphi, violations)."""
     n_chunks = w0.shape[0]
     C = eta.shape[0] // n_chunks
     dtype = table_ext.dtype
 
-    def body(_, args):
-        eta_c, w0_c = args
-        x = (eta_c + L) / cw
-        idxf = jnp.floor(x)
-        w = (x - idxf).astype(dtype)
-        lidx = idxf.astype(jnp.int32) + G - w0_c
-        viol = jnp.sum((lidx < 0) | (lidx >= W))
-        lidx = jnp.clip(lidx, 0, W - 1)
-        z0 = jnp.asarray(0, w0_c.dtype)
-        tw = jax.lax.dynamic_slice(table_ext, (w0_c, z0), (W, 8))
-        oh = jax.nn.one_hot(lidx, W, dtype=dtype)
-        cols = oh @ tw
-        f0 = cols[:, 0] + 1j * cols[:, 1]
-        f1 = cols[:, 2] + 1j * cols[:, 3]
-        g0 = cols[:, 4] + 1j * cols[:, 5]
-        g1 = cols[:, 6] + 1j * cols[:, 7]
-        phi = (1.0 - w) * f0 + w * f1
-        dphi = ((1.0 - w) * g0 + w * g1) / (2.0 * cw)
-        return None, (phi, dphi, viol)
-
-    _, (phi, dphi, viol) = jax.lax.scan(
-        body, None, (eta.reshape(n_chunks, C), w0))
-    return phi.reshape(-1), dphi.reshape(-1), viol.sum().astype(jnp.int32)
+    x = (eta.reshape(n_chunks, C) + L) / cw
+    idxf = jnp.floor(x)
+    w = (x - idxf).astype(dtype)
+    lidx = idxf.astype(jnp.int32) + G - w0[:, None]
+    viol = jnp.sum((lidx < 0) | (lidx >= W)).astype(jnp.int32)
+    lidx = jnp.clip(lidx, 0, W - 1)
+    tw = table_ext[w0[:, None] + jnp.arange(W)[None, :]]   # (nc, W, 8)
+    oh = jax.nn.one_hot(lidx, W, dtype=dtype)              # (nc, C, W)
+    cols = jnp.einsum("ncw,nwe->nce", oh, tw)
+    f0 = cols[..., 0] + 1j * cols[..., 1]
+    f1 = cols[..., 2] + 1j * cols[..., 3]
+    g0 = cols[..., 4] + 1j * cols[..., 5]
+    g1 = cols[..., 6] + 1j * cols[..., 7]
+    phi = (1.0 - w) * f0 + w * f1
+    dphi = ((1.0 - w) * g0 + w * g1) / (2.0 * cw)
+    return phi.reshape(-1), dphi.reshape(-1), viol
 
 
-def _deposit_windowed(den, eta, w0, W: int, G: int, nf: int, cw, L):
-    """CIC deposit with per-chunk W-cell one-hots into an extended
-    accumulator, folded back periodically.  Returns (field_density (nf,)
-    complex, violations)."""
+def _deposit_windowed(den, eta, w0, W: int, G: int, nf: int, cw, L,
+                      quant: int):
+    """CIC deposit with batched per-chunk W-cell one-hot contractions.
+
+    The per-chunk window sums land on the extended grid WITHOUT any
+    scatter: window bases are pre-quantized to multiples of ``quant``
+    (see ``_window_bases``), so chunks group into nfe/quant alignment
+    buckets via one tiny one-hot matmul, and the buckets overlap-add onto
+    the grid with STATIC slices (TPU scatters at this shape measured
+    ~1.5 ms; this fold is ~0).  Returns (density (nf,) complex,
+    violations)."""
     n_chunks = w0.shape[0]
     C = den.shape[0] // n_chunks
     rdtype = jnp.real(den).dtype
     nfe = nf + 2 * G + 2
 
-    def body(carry, args):
-        acc, viols = carry
-        den_c, eta_c, w0_c = args
-        x = (eta_c + L) / cw
-        idxf = jnp.floor(x)
-        w = (x - idxf).astype(rdtype)
-        lidx = idxf.astype(jnp.int32) + G - w0_c
-        viol = jnp.sum((lidx < 0) | (lidx >= W)).astype(jnp.int32)
-        lidx = jnp.clip(lidx, 0, W - 1)
-        oh = jax.nn.one_hot(lidx, W, dtype=rdtype)
-        wl = 1.0 - w
-        vals = jnp.stack([jnp.real(den_c) * wl, jnp.imag(den_c) * wl,
-                          jnp.real(den_c) * w, jnp.imag(den_c) * w], axis=-1)
-        y = oh.T @ vals                       # (W, 4)
-        upd = jnp.zeros((W + 1, 2), rdtype)
-        upd = upd.at[:W].add(y[:, :2])
-        upd = upd.at[1:].add(y[:, 2:])        # right CIC node at lidx + 1
-        z0 = jnp.asarray(0, w0_c.dtype)
-        seg = jax.lax.dynamic_slice(acc, (w0_c, z0), (W + 1, 2))
-        acc = jax.lax.dynamic_update_slice(acc, seg + upd, (w0_c, z0))
-        return (acc, viols + viol), None
+    x = (eta.reshape(n_chunks, C) + L) / cw
+    idxf = jnp.floor(x)
+    w = (x - idxf).astype(rdtype)
+    lidx = idxf.astype(jnp.int32) + G - w0[:, None]
+    viol = jnp.sum((lidx < 0) | (lidx >= W)).astype(jnp.int32)
+    lidx = jnp.clip(lidx, 0, W - 1)
+    oh = jax.nn.one_hot(lidx, W, dtype=rdtype)             # (nc, C, W)
+    den2 = den.reshape(n_chunks, C)
+    wl = 1.0 - w
+    vals = jnp.stack([jnp.real(den2) * wl, jnp.imag(den2) * wl,
+                      jnp.real(den2) * w, jnp.imag(den2) * w], axis=-1)
+    y = jnp.einsum("ncw,nce->nwe", oh, vals)               # (nc, W, 4)
+    # left CIC node at lidx, right node at lidx + 1
+    upd = jnp.zeros((n_chunks, W + 1, 2), rdtype)
+    upd = upd.at[:, :W].add(y[..., :2])
+    upd = upd.at[:, 1:].add(y[..., 2:])
 
-    acc0 = jnp.zeros((nfe, 2), rdtype)
-    (acc, viols), _ = jax.lax.scan(
-        body, (acc0, jnp.asarray(0, jnp.int32)),
-        (den.reshape(n_chunks, C), eta.reshape(n_chunks, C), w0))
+    # bucket overlap-add fold: w0 is a multiple of quant, so chunk sums
+    # group by w0/quant and land with static slices
+    n_buckets = (nfe - W) // quant + 1
+    ohb = jax.nn.one_hot(w0 // quant, n_buckets, dtype=rdtype)
+    fb = jnp.einsum("nb,nwe->bwe", ohb, upd)               # (nb, W+1, 2)
+    acc = jnp.zeros((n_buckets * quant + W + 1, 2), rdtype)
+    for b in range(n_buckets):
+        acc = jax.lax.dynamic_update_slice_in_dim(
+            acc, jax.lax.dynamic_slice_in_dim(acc, b * quant, W + 1, 0)
+            + fb[b], b * quant, axis=0)
+    acc = acc[:nfe]
 
     # fold the guards back onto the periodic grid
     out = acc[G:G + nf]
     out = out.at[nf - G:].add(acc[:G])
     right = acc[G + nf:]
     out = out.at[:right.shape[0]].add(right)
-    return out[:, 0] + 1j * out[:, 1], viols.astype(jnp.int32)
+    return out[:, 0] + 1j * out[:, 1], viol
 
 
 def _wrap_eta(p, eta):
@@ -502,7 +512,7 @@ def put_velocity_sorted(p, s: PICState, w0, W: int, G: int):
 
 
 def solve_field_sorted(p, s: PICState, qn_coef, w0, W: int, G: int,
-                       density_reduce=None):
+                       quant: int = 1, density_reduce=None):
     """solve_field with the windowed deposit (unwrapped eta ok)."""
     nf = p.npoints
     cw = cell_width(p)
@@ -514,7 +524,8 @@ def solve_field_sorted(p, s: PICState, qn_coef, w0, W: int, G: int,
 
     den = (j0 * s.weight * dc_pb if p.drift_center_transformation_switch
            else j0 * s.weight)
-    d, viol = _deposit_windowed(den, s.eta, w0, W, G, nf, cw, p.length)
+    d, viol = _deposit_windowed(den, s.eta, w0, W, G, nf, cw, p.length,
+                                quant)
     if density_reduce is not None:
         d = density_reduce(d)
     field = d * qn_coef
@@ -525,7 +536,7 @@ def solve_field_sorted(p, s: PICState, qn_coef, w0, W: int, G: int,
 
 
 def rk3_step_sorted(p, s: PICState, dt, qn_coef, w0, W: int, G: int,
-                    density_reduce=None):
+                    quant: int = 1, density_reduce=None):
     """RK3 step on the sorted/windowed path; eta stays UNWRAPPED within a
     sorted block (no per-stage mod -- the wrap happens at re-sort time).
     Returns (state, violations)."""
@@ -542,14 +553,15 @@ def rk3_step_sorted(p, s: PICState, dt, qn_coef, w0, W: int, G: int,
                      weight=weight, omega_dv=s.omega_dv,
                      omega_st=s.omega_st, p_weight=s.p_weight, j0=s.j0,
                      dc_pb=s.dc_pb, field=s.field)
-        s, vd = solve_field_sorted(p, s, qn_coef, w0, W, G, density_reduce)
+        s, vd = solve_field_sorted(p, s, qn_coef, w0, W, G, quant,
+                                   density_reduce)
         viols = (viols + vg + vd).astype(jnp.int32)
     return s, viols
 
 
 def run_sorted(p, marker_per_cell: int, n_steps: int, dt, key=None,
-               resort_every: int = 15, window: int = 256,
-               chunk_markers: int = 2048):
+               resort_every: int = 15, window: int = 384,
+               chunk_markers: int = 8192):
     """``run`` on the sorted-window path.  Markers re-sort every
     ``resort_every`` steps; the guard width G is chosen STATICALLY from the
     realized max|v_para| (which never changes) so that no marker can drift
@@ -571,13 +583,15 @@ def run_sorted(p, marker_per_cell: int, n_steps: int, dt, key=None,
     nf = p.npoints
     cw = 2.0 * float(p.length) / nf
     W = int(window)
+    quant = max(1, W // 8)     # window-base quantum for the deposit fold
     # the window-escape guarantee: between sorts the fastest marker drifts
     # R * dt * vmax * sum|substep| / (q R_major); the window margin after
-    # centering is ~(W - span)/2 cells.  Derive the largest safe re-sort
-    # interval instead of trusting the caller (span allowance 16 cells +
-    # CIC reach).  The returned violation count is the runtime proof.
+    # centering is ~(W - span)/2 - quant cells.  Derive the largest safe
+    # re-sort interval instead of trusting the caller (span allowance 16
+    # cells + CIC reach).  The returned violation count is the runtime
+    # proof.
     span_allow = max(16, 2 * int(chunk_markers) // max(marker_per_cell, 1))
-    margin_eta = ((W - span_allow) // 2 - 4) * cw
+    margin_eta = ((W - span_allow) // 2 - 4 - quant) * cw
     drift_per_step = float(dt) * vmax * (_RK_SUBSTEP_SUM + 0.2) \
         / float(p.q * p.R)
     safe_R = max(1, int(margin_eta / max(drift_per_step, 1e-30)))
@@ -599,10 +613,10 @@ def run_sorted(p, marker_per_cell: int, n_steps: int, dt, key=None,
 
         def outer(s, _):
             s = sort_by_eta(p, s)
-            w0 = _window_bases(p, s.eta, n_chunks, W, G, nfe)
+            w0 = _window_bases(p, s.eta, n_chunks, W, G, nfe, quant)
 
             def inner(s, _):
-                s, viol = rk3_step_sorted(p, s, dt, qn, w0, W, G)
+                s, viol = rk3_step_sorted(p, s, dt, qn, w0, W, G, quant)
                 return s, (field_stats(s.field), viol)
 
             s, (stats, viols) = jax.lax.scan(inner, s, None, length=R)

@@ -9,6 +9,9 @@ from emme_tpu.ops.singularity import singularity_coeff_matrix
 
 pytestmark = pytest.mark.skipif(not native.available(),
                                 reason="native toolchain unavailable")
+# NB the skip guards the goldens below; the fact that the engine BUILT at
+# all is asserted unconditionally in tests/test_utils.py
+# (test_native_engine_actually_built) so this pillar cannot silently skip.
 
 
 @pytest.fixture(scope="module")
