@@ -80,7 +80,7 @@ def main(n=8192, band_deta=10.0):
         lu = banded.banded_lu(M2)
         return lu.invD[0, 0, 0, 0] * 1e-20 + c * 0
 
-    t_lu = timed("banded_lu", lambda c: do_lu(M.data, c), reps=2)
+    t_lu = timed("banded_lu", do_lu, M.data, reps=2)
 
     def do_tak(data, c):
         M2 = se.BDIAOperator(data=data + c * 1e-30, offsets=M.offsets,
@@ -90,8 +90,7 @@ def main(n=8192, band_deta=10.0):
         tr_r, tr_i = banded.banded_trace_product(Zu, M2)
         return tr_r * 1e-20 + c * 0
 
-    t_tak = timed("lu + takahashi + trace", lambda c: do_tak(M.data, c),
-                  reps=2)
+    t_tak = timed("lu + takahashi + trace", do_tak, M.data, reps=2)
 
     lu = jax.jit(banded.banded_lu)(M)
     jax.block_until_ready(lu.W)
@@ -103,7 +102,7 @@ def main(n=8192, band_deta=10.0):
         zr, zi = banded.banded_solve(lu2, xr, xr * 0.5)
         return zr[0] * 1e-20 + c * 0
 
-    t_sol = timed("banded_solve (1 rhs)", lambda c: do_solve(lu.W, lu.invD, c),
+    t_sol = timed("banded_solve (1 rhs)", do_solve, lu.W, lu.invD,
                   reps=3)
 
     print(json.dumps({"n": n, "h": h, "block": block,

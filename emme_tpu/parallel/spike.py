@@ -25,10 +25,14 @@ splits into
 
 with dM = dD + P K' P^T decomposed the same way.  Both pieces are exact --
 the distributed omega trajectory matches the single-device one to roundoff
-(tests/test_spike.py).  All small reduced-system algebra runs replicated on
-every device in (re, im) planes (complex linalg is unimplemented on TPU);
-the heavy parts -- assembly quadrature, local LU/Takahashi scans, edge
-spikes -- scale with 1/S per device.
+(tests/test_spike.py).  The reduced system runs replicated on every device
+in (re, im) planes (complex linalg is unimplemented on TPU) but exploits
+its block-tridiagonal structure: in shard-interface groups [t_s, b_s],
+R = I + K G has identity diagonal blocks, the correction solve is
+block-Thomas, and the trace term uses a bandwidth-2 selected inverse of R
+-- O(S m^3) instead of the dense O((2 S m)^3) of rounds 2-3.  The heavy
+parts -- assembly quadrature, local LU/Takahashi scans, edge spikes --
+scale with 1/S per device.
 
 Assembly shards the same way: each device builds only its block rows via
 ``sparse_eigen.assemble_bdia_window`` (kernel-table window = its rows plus

@@ -86,9 +86,9 @@ def test_sharded_assembly_matches(tok_op):
     p, grid, cband, op = tok_op
     mesh = _mesh(4)
     with mesh:
-        op_s = spike.sharded_assemble_bdia(p, grid, cband, -0.8 + 0.25j,
-                                           max(op.offsets), op.block, mesh,
-                                           quad=QUAD)
+        op_s = jax.jit(lambda: spike.sharded_assemble_bdia(
+            p, grid, cband, -0.8 + 0.25j, max(op.offsets), op.block, mesh,
+            quad=QUAD))()
         data = jax.device_get(op_s.data)
     np.testing.assert_allclose(data, np.asarray(op.data), rtol=0, atol=1e-12)
 
