@@ -114,6 +114,29 @@ def main():
     except Exception as e:  # PIC bench must not sink the headline metric
         print(f"pic bench skipped: {e}", file=sys.stderr, flush=True)
 
+    # secondary: largest never-dense banded eigensolve (n=8192, 30 M nnz;
+    # the BASELINE scaling axis -- see BENCH_SPARSE.md)
+    sp8192_seconds = None
+    try:
+        if not on_tpu:
+            raise RuntimeError("tok8192 sparse secondary is TPU-only")
+        from emme_tpu.solvers import sparse_eigen
+        cfg8 = dict(cfg, npoints=8192)
+        p8 = from_config(cfg8, dtype=dtype)
+        guess8 = complex(-0.8405, 0.2529)   # n=4096 continuation seed
+        sparse_eigen.solve(p8, guess8, tol=1e-5, band_deta=10.0)  # warm
+        t0 = time.time()
+        om8, _v8, _s8, _ = sparse_eigen.solve(p8, guess8, tol=1e-5,
+                                              band_deta=10.0)
+        sp8192_seconds = time.time() - t0
+        print(f"tok8192 sparse: {om8} in {sp8192_seconds:.2f}s",
+              file=sys.stderr, flush=True)
+        # self-consistency vs the recorded scaling value (BENCH_SPARSE.md)
+        ref8 = complex(-0.841785728931427, 0.25214308500289917)
+        assert abs(om8 - ref8) / abs(ref8) < 1e-4
+    except Exception as e:
+        print(f"tok8192 bench skipped: {e}", file=sys.stderr, flush=True)
+
     out = {
         "metric": "time_to_converged_eigenpair_tokamak_n1024",
         "value": round(elapsed, 3),
@@ -128,6 +151,8 @@ def main():
     if pic_seconds is not None:
         out["pic_tok1024_s"] = round(pic_seconds, 3)
         out["pic_vs_baseline"] = round(146.2 / pic_seconds, 2)
+    if sp8192_seconds is not None:
+        out["tok8192_sparse_s"] = round(sp8192_seconds, 3)
     print(json.dumps(out), flush=True)
 
 
