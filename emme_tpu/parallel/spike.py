@@ -62,15 +62,6 @@ def _pmm(ar, ai, br, bi):
     return ar @ br - ai @ bi, ar @ bi + ai @ br
 
 
-def _psolve(ar, ai, br, bi):
-    """Solve (Ar + i Ai) Z = (Br + i Bi) via the real 2m x 2m embedding."""
-    m = ar.shape[0]
-    R = jnp.block([[ar, -ai], [ai, ar]])
-    rhs = jnp.concatenate([br, bi], axis=0)
-    Z = jnp.linalg.solve(R, rhs)
-    return Z[:m], Z[m:]
-
-
 # ---------------------------------------------------------------------------
 # block-tridiagonal reduced algebra.  In shard-interface groups
 # [t_s, b_s] (2m wide, m = h*bs), the coupling matrix K is block-tridiagonal
