@@ -1,17 +1,28 @@
 """Microbenchmark of PIC CIC primitive implementations on the TPU.
 
-Times (per invocation, amortized over a dependent in-jit chain) for:
-  * full-width one-hot gather matmul (the current run() kernel)
-  * batched windowed one-hot gather (vmapped chunks, W-cell tables)
-  * batched windowed deposit + scatter fold
-  * bf16-operand variants of each
-  * the 11-operand 1M lax.sort
-  * a plain dynamic gather (jnp.take) for reference
+Methodology (hard-won, see the verify notes): every variant runs inside a
+dependent ``fori_loop`` chain whose INPUTS vary with the carry -- without
+that, XLA either dead-code-eliminates all but the consumed slice of the
+output (an early version "measured" a full-width gather at 0.09 ms by
+letting XLA slice the matmul to one row) or hoists the loop-invariant body
+out of the chain entirely (negative times).  Outputs are consumed by full
+sums; timings difference two chain lengths.
 
-Per the verify notes: timings must force completion with a device->host
-fetch; chains run inside one jit with a traced rep count.
+Representative v5e measurements at 1M markers x 1024 cells (f32):
+
+    gather: chunked scan one-hot (round-3 pic.py)     2.32 ms
+    gather: flat transposed one-hot dot (round 4)     0.65-0.83 ms standalone
+                                                      (~2.2-2.3 ms in-context)
+    gather: jnp.take rows                             2.7-3.1 ms
+    gather: windowed batched einsum W=256             0.35 ms
+    deposit: chunked scan one-hot (round-3)           2.11 ms
+    deposit: flat transposed one-hot dot (round 4)    1.05 ms
+    deposit: segment_sum                              9.5-10 ms
+    deposit: windowed + scatter fold W=256            1.47 ms
+    lax.sort 11 operands                              1.55 ms
+
+See BENCH_PIC.md for the full ledger and the emitter-bound roofline.
 """
-import json
 import pathlib
 import sys
 import time
@@ -27,136 +38,91 @@ def main():
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 
-    n = 1 << 20          # markers
-    nf = 1024            # cells
-    W = 256
-    chunk = 8192
+    n, nf, W, chunk = 1 << 20, 1024, 256, 8192
     n_chunks = n // chunk
-    key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     idx = jax.random.randint(k1, (n,), 0, nf, dtype=jnp.int32)
     idx_sorted = jnp.sort(idx)
     table = jax.random.normal(k2, (nf, 8), jnp.float32)
     vals = jax.random.normal(k2, (n, 4), jnp.float32)
-    # per-chunk window bases for the sorted case
-    w0 = (idx_sorted.reshape(n_chunks, chunk)[:, 0] - W // 4).clip(0, nf - W)
+    w0 = (idx_sorted.reshape(n_chunks, chunk)[:, 0] - W // 4
+          ).clip(0, nf - W)
 
-    def timed(fn, *args, reps=30, label=""):
+    def timed(fn, *args, reps=20, label=""):
         @jax.jit
         def chain(r, *a):
             def body(_, c):
-                out = fn(*a, c)
-                return out
-            x = jnp.zeros((), jnp.float32)
-            x = jax.lax.fori_loop(0, r, body, x)
-            return x
+                return fn(*a, c)
+            return jax.lax.fori_loop(0, r, body, jnp.zeros((), jnp.float32))
         float(chain(2, *args))
-        t0 = time.time(); float(chain(2, *args)); t_short = time.time() - t0
-        t0 = time.time(); float(chain(2 + reps, *args)); t_long = time.time() - t0
-        per = (t_long - t_short) / reps
-        print(f"{label:42s} {per*1e3:9.3f} ms", flush=True)
-        return per
+        t0 = time.time(); float(chain(2, *args)); t1 = time.time() - t0
+        t0 = time.time(); float(chain(2 + reps, *args)); t2 = time.time() - t0
+        print(f"{label:46s} {(t2 - t1) / reps * 1e3:9.3f} ms", flush=True)
 
-    # 1. full-width one-hot gather (current kernel shape), f32
-    def full_gather(table, idx, c):
+    def vary(idx, c):
+        return (idx + c.astype(jnp.int32)) % nf
+
+    def scan_gather(table, idx, c):
+        t = table + c
         def body(_, ic):
             oh = jax.nn.one_hot(ic, nf, dtype=table.dtype)
-            return None, oh @ table
-        _, out = jax.lax.scan(body, None, idx.reshape(n_chunks, chunk))
-        return out.sum() * 0 + c * 0 + out.reshape(-1, 8)[0, 0] * 1e-20 + c
+            return None, oh @ t
+        _, out = jax.lax.scan(body, None,
+                              vary(idx, c).reshape(n_chunks, chunk))
+        return out.sum() * 1e-20 + c
+    timed(scan_gather, table, idx,
+          label="gather: chunked scan one-hot f32 (round 3)")
 
-    timed(full_gather, table, idx, label="full-width gather scan f32 (current)")
+    def flat_gather(table, idx, c):
+        oh = jax.nn.one_hot(vary(idx, c), nf, dtype=table.dtype)
+        return ((table + c).T @ oh.T).sum() * 1e-20 + c
+    timed(flat_gather, table, idx, reps=10,
+          label="gather: flat transposed one-hot (round 4)")
 
-    # 1b. as ONE flat matmul (no chunk scan)
-    def full_gather_flat(table, idx, c):
-        oh = jax.nn.one_hot(idx, nf, dtype=table.dtype)
-        out = oh @ table
-        return out[0, 0] * 1e-20 + c
+    def take_gather(table, idx, c):
+        return jnp.take(table + c, vary(idx, c), axis=0).sum() * 1e-20 + c
+    timed(take_gather, table, idx, label="gather: jnp.take rows")
 
-    timed(full_gather_flat, table, idx, label="full-width gather one matmul f32")
-
-    # 1c. bf16 one-hot/table
-    def full_gather_bf16(table, idx, c):
-        def body(_, ic):
-            oh = jax.nn.one_hot(ic, nf, dtype=jnp.bfloat16)
-            return None, oh @ table.astype(jnp.bfloat16)
-        _, out = jax.lax.scan(body, None, idx.reshape(n_chunks, chunk))
-        return out.reshape(-1, 8)[0, 0].astype(jnp.float32) * 1e-20 + c
-
-    timed(full_gather_bf16, table, idx, label="full-width gather scan bf16")
-
-    # 2. batched windowed gather, f32
     def win_gather(table, idx_s, w0, c):
-        tw = table[w0[:, None] + jnp.arange(W)[None, :]]      # (nc, W, 8)
-        lidx = idx_s.reshape(n_chunks, chunk) - w0[:, None]
-        lidx = lidx.clip(0, W - 1)
-        oh = jax.nn.one_hot(lidx, W, dtype=table.dtype)       # (nc, C, W)
-        out = jnp.einsum("ncw,nwe->nce", oh, tw)
-        return out[0, 0, 0] * 1e-20 + c
+        tw = (table + c)[w0[:, None] + jnp.arange(W)[None, :]]
+        lidx = (vary(idx_s, c).reshape(n_chunks, chunk)
+                - w0[:, None]).clip(0, W - 1)
+        oh = jax.nn.one_hot(lidx, W, dtype=table.dtype)
+        return jnp.einsum("ncw,nwe->nce", oh, tw).sum() * 1e-20 + c
+    timed(win_gather, table, idx_sorted, w0,
+          label=f"gather: windowed batched einsum W={W}")
 
-    timed(win_gather, table, idx_sorted, w0, label=f"windowed gather batched f32 W={W}")
-
-    def win_gather_bf16(table, idx_s, w0, c):
-        tw = table[w0[:, None] + jnp.arange(W)[None, :]].astype(jnp.bfloat16)
-        lidx = idx_s.reshape(n_chunks, chunk) - w0[:, None]
-        lidx = lidx.clip(0, W - 1)
-        oh = jax.nn.one_hot(lidx, W, dtype=jnp.bfloat16)
-        out = jnp.einsum("ncw,nwe->nce", oh, tw)
-        return out[0, 0, 0].astype(jnp.float32) * 1e-20 + c
-
-    timed(win_gather_bf16, table, idx_sorted, w0,
-          label=f"windowed gather batched bf16 W={W}")
-
-    # 3. full-width deposit (current), f32
-    def full_deposit(vals, idx, c):
+    def scan_deposit(vals, idx, c):
+        v = (vals + c).reshape(n_chunks, chunk, 4)
         def body(_, args):
             ic, vc = args
             oh = jax.nn.one_hot(ic, nf, dtype=vals.dtype)
             return None, oh.T @ vc
-        _, ys = jax.lax.scan(body, None,
-                             (idx.reshape(n_chunks, chunk),
-                              vals.reshape(n_chunks, chunk, 4)))
+        _, ys = jax.lax.scan(
+            body, None, (vary(idx, c).reshape(n_chunks, chunk), v))
         return ys.sum() * 1e-20 + c
+    timed(scan_deposit, vals, idx,
+          label="deposit: chunked scan one-hot f32 (round 3)")
 
-    timed(full_deposit, vals, idx, label="full-width deposit scan f32 (current)")
+    def flat_deposit(vals, idx, c):
+        oh = jax.nn.one_hot(vary(idx, c), nf, dtype=vals.dtype)
+        return ((vals + c).T @ oh).sum() * 1e-20 + c
+    timed(flat_deposit, vals, idx, reps=10,
+          label="deposit: flat transposed one-hot (round 4)")
 
-    # 4. windowed deposit + scatter fold, f32
-    def win_deposit(vals, idx_s, w0, c):
-        lidx = idx_s.reshape(n_chunks, chunk) - w0[:, None]
-        lidx = lidx.clip(0, W - 1)
-        oh = jax.nn.one_hot(lidx, W, dtype=vals.dtype)
-        y = jnp.einsum("ncw,nce->nwe", oh, vals.reshape(n_chunks, chunk, 4))
-        acc = jnp.zeros((nf + W, 4), vals.dtype)
-        acc = acc.at[w0[:, None] + jnp.arange(W)[None, :]].add(y)
-        return acc.sum() * 1e-20 + c
+    def seg_deposit(vals, idx, c):
+        return jax.ops.segment_sum(vals + c, vary(idx, c),
+                                   num_segments=nf).sum() * 1e-20 + c
+    timed(seg_deposit, vals, idx, reps=5, label="deposit: segment_sum")
 
-    timed(win_deposit, vals, idx_sorted, w0,
-          label=f"windowed deposit + scatter fold f32 W={W}")
-
-    # 5. the sort (11 operands, num_keys=1)
     ops = tuple(jax.random.normal(jax.random.PRNGKey(i), (n,), jnp.float32)
                 for i in range(11))
 
     def do_sort(eta, rest, c):
         out = jax.lax.sort((eta + c,) + rest, dimension=0, num_keys=1)
-        return out[0][0] * 1e-20 + c
-
-    timed(do_sort, ops[0], ops[1:], reps=10, label="lax.sort 11 operands 1M")
-
-    # 6. plain dynamic gather
-    def take_gather(table, idx, c):
-        out = jnp.take(table, idx, axis=0)
-        return out[0, 0] * 1e-20 + c
-
-    timed(take_gather, table, idx, label="jnp.take gather (nf,8) by 1M idx")
-
-    # 7. scatter-add deposit 1M -> nf (segment_sum style)
-    def scatter_deposit(vals, idx, c):
-        acc = jnp.zeros((nf, 4), vals.dtype)
-        acc = acc.at[idx].add(vals + c)
-        return acc.sum() * 1e-20 + c
-
-    timed(scatter_deposit, vals, idx, reps=10, label="scatter .at[].add 1M -> nf")
+        return out[0][-1] * 1e-20 + c
+    timed(do_sort, ops[0], ops[1:], reps=10,
+          label="lax.sort 11 operands 1M")
 
 
 if __name__ == "__main__":
