@@ -323,3 +323,19 @@ def test_block_tridiag_selected_inverse():
                       Zd_dense[s*n2:(s+1)*n2, (s+2)*n2:(s+3)*n2]).max() < 1e-10
         assert np.abs(blk(Zsub2[s]) -
                       Zd_dense[(s+2)*n2:(s+3)*n2, s*n2:(s+1)*n2]).max() < 1e-10
+
+
+@pytest.mark.slow
+def test_driver_mesh_rows_scan_pic(tmp_path, tokamak_cfg):
+    """PIC through the 2-D topology: scan points fan over the groups, each
+    run marker-sharded with psum deposition over its rows axis."""
+    from emme_tpu import driver
+    base = dict(tokamak_cfg, npoints=32, method="PIC", marker_per_cell=16,
+                step_number=8, time_step=0.25, initial_guess=[-0.8, 0.25],
+                eta_i={"head": 3.13, "step": 0.1, "tail": 3.23},
+                mesh={"rows": 2, "scan": 2})
+    r = driver.run(base, output_dir=tmp_path / "picmesh", verbose=False)
+    out = r["result"]["eta_i"]["scan_result"]
+    assert len(out) == 2
+    for o in out:
+        assert np.isfinite(o["eigenvalue"]).all(), o
