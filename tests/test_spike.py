@@ -38,13 +38,9 @@ def _tok_op_build(tokamak_cfg, n=64, bs=8, h=2):
 
 @pytest.fixture(scope="module")
 def tok_op(tokamak_cfg):
-    """The shared n=128 banded operator (assembly is the dominant cost of
+    """The shared n=64 banded operator (assembly is the dominant cost of
     this module; build it once)."""
     return _tok_op_build(tokamak_cfg)
-
-
-def _tok_op(tokamak_cfg, n=128, bs=8, h=3):
-    return _tok_op_build(tokamak_cfg, n, bs, h)
 
 
 def test_assemble_window_matches_global(tok_op):
