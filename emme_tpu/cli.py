@@ -55,10 +55,28 @@ def main(argv=None):
     ap.add_argument("-q", "--quiet", action="store_true")
     args = ap.parse_args(argv)
 
+    if args.mesh_scan and not args.mesh_rows:
+        # a scan axis without a rows axis was silently ignored (ADVICE r4)
+        ap.error("--mesh-scan requires --mesh-rows (use --mesh-rows 1 for "
+                 "a pure scan-parallel topology)")
+
+    # the topology may come from the CLI or the input JSON "mesh" key;
+    # either way a CPU mesh needs virtual devices, and the XLA flag must be
+    # set before jax initializes (ADVICE r4: the JSON-sourced topology used
+    # to skip this and die later with 'needs N devices')
+    rows, scan = args.mesh_rows, args.mesh_scan
+    if rows is None:
+        try:
+            import json
+            with open(args.input) as f:
+                mesh_cfg = json.load(f).get("mesh") or {}
+            rows = int(mesh_cfg.get("rows", 1))
+            scan = int(mesh_cfg.get("scan", 1))
+        except Exception:
+            rows, scan = 1, 1   # driver.run reports input errors properly
+    need = (rows or 1) * (scan or 1)
     import os
-    if args.mesh_rows and args.mesh_rows > 1 and args.device != "tpu":
-        # a CPU mesh needs virtual devices; must be set before jax init
-        need = args.mesh_rows * (args.mesh_scan or 1)
+    if need > 1 and args.device != "tpu":
         flags = os.environ.get("XLA_FLAGS", "")
         if "xla_force_host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (

@@ -381,11 +381,21 @@ def _run_scan_parallel(solver, input_cfg, key, spec, guess, outdir, done,
     the driver-level realization of the 2-D mesh (scan axis = concurrent
     scan points across device groups, rows axis = in-solve sharding)."""
     import contextlib
+    import queue
 
     devices = jax.devices()
     values, turnings = scan_values(spec)
     cfg0 = filter_input(input_cfg)
     lock = threading.Lock()
+    # free-mesh pool: keeps in-flight solves on DISTINCT device groups --
+    # with i % S assignment a worker finishing point i could pick up point
+    # i+S and contend with a still-running solve on the same group
+    # (ADVICE r4; bites in "independent" mode, where map order is free)
+    mesh_pool = None
+    if meshes is not None:
+        mesh_pool = queue.Queue()
+        for m in meshes:
+            mesh_pool.put(m)
 
     def solve_point(i, value, seed_omega):
         ck = f"{key}={value!r}"
@@ -395,19 +405,23 @@ def _run_scan_parallel(solver, input_cfg, key, spec, guess, outdir, done,
         cfg = dict(cfg0)
         cfg[key] = value
         mfile = outdir / "eigenMatrics" / f"{key}Eq{value:.6f}.bin"
-        if meshes is not None:
+        if mesh_pool is not None:
             ctx = contextlib.nullcontext()
-            kw = dict(solver_kw, mesh=meshes[i % len(meshes)])
+            kw = dict(solver_kw, mesh=mesh_pool.get())
         else:
             ctx = jax.default_device(devices[i % len(devices)])
             kw = solver_kw
-        with ctx:
-            try:
-                res, _ = solver(cfg, seed_omega, matrix_file=mfile, **kw)
-                res["eigenMatrix"] = str(mfile)
-                res["scan_value"] = value
-            except Exception as e:  # scan-level fault tolerance
-                res = {"eigenvalue": "NaN", "reason": str(e)}
+        try:
+            with ctx:
+                try:
+                    res, _ = solver(cfg, seed_omega, matrix_file=mfile, **kw)
+                    res["eigenMatrix"] = str(mfile)
+                    res["scan_value"] = value
+                except Exception as e:  # scan-level fault tolerance
+                    res = {"eigenvalue": "NaN", "reason": str(e)}
+        finally:
+            if mesh_pool is not None:
+                mesh_pool.put(kw["mesh"])
         with lock:
             done[ck] = res
             snapshot = dict(done)  # shallow: completed entries are not mutated
@@ -596,28 +610,48 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
             (len(meshes) if meshes else 1)
         cfg0 = filter_input(input_cfg)
         devices = jax.devices()
+        lock = threading.Lock()
+        # free-mesh pool (same contention fix as _run_scan_parallel)
+        mesh_pool = None
+        if meshes is not None:
+            import queue
+            mesh_pool = queue.Queue()
+            for m in meshes:
+                mesh_pool.put(m)
 
         def one_shift(item):
             import contextlib
             i, sig = item
+            ck = f"shift={i}"
+            with lock:
+                if ck in done:   # resume: shifts checkpoint like scan points
+                    return done[ck]
             mfile = outdir / "eigenMatrics" / f"shift{i}.bin"
-            if meshes is not None:
+            if mesh_pool is not None:
                 ctx = contextlib.nullcontext()
-                m_i = meshes[i % len(meshes)]
+                m_i = mesh_pool.get()
             else:
                 ctx = jax.default_device(devices[i % len(devices)])
                 m_i = mesh
-            with ctx:
-                try:
-                    res, _ = solver(cfg0, sig, matrix_file=mfile,
-                                    dtype=dtype, quad=quad, chunk=chunk,
-                                    host64=host64, mesh=m_i)
-                    res["eigenMatrix"] = str(mfile)
-                except Exception as e:
-                    res = {"eigenvalue": "NaN", "reason": str(e)}
+            try:
+                with ctx:
+                    try:
+                        res, _ = solver(cfg0, sig, matrix_file=mfile,
+                                        dtype=dtype, quad=quad, chunk=chunk,
+                                        host64=host64, mesh=m_i)
+                        res["eigenMatrix"] = str(mfile)
+                    except Exception as e:
+                        res = {"eigenvalue": "NaN", "reason": str(e)}
+            finally:
+                if mesh_pool is not None:
+                    mesh_pool.put(m_i)
             res["shift"] = [sig.real, sig.imag]
-            if verbose:
-                print(f"    shift {sig}  ->  {res.get('eigenvalue')}")
+            with lock:
+                done[ck] = res
+                snapshot = dict(done)
+                if verbose:
+                    print(f"    shift {sig}  ->  {res.get('eigenvalue')}")
+            record_ckpt(snapshot)   # interrupted multi-shift runs resume
             return res
 
         items = list(enumerate(sigmas))

@@ -529,30 +529,152 @@ def _solve_fns(method: str, quad, chunk: int, cdtype, tiers=None,
     return _SOLVE_JIT_CACHE[key]
 
 
+_POLISH_JIT_CACHE: dict = {}
+
+
+def _polish_fns(quad, chunk: int, dtype, tiers=None, fused: bool = False):
+    """Jitted device helpers for the vector-transfer polish: everything
+    O(n^2) stays device-resident; only n-vectors cross the tunnel."""
+    qkey = tuple(sorted(quad.items())) if quad else None
+    key = (qkey, chunk, jnp.dtype(dtype).name, tiers, fused)
+    if key not in _POLISH_JIT_CACHE:
+        cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+
+        def matvec(M, vr, vi):
+            # complex matvec on (re, im) planes (no complex matmul on TPU)
+            Mr, Mi = jnp.real(M), jnp.imag(M)
+            return Mr @ vr - Mi @ vi, Mr @ vi + Mi @ vr
+
+        @jax.jit
+        def nullvec(M):
+            v = linalg.null_space_vector(M, method="inverse")
+            return jnp.real(v), jnp.imag(v)
+
+        @jax.jit
+        def init_products(M, dM, vr, vi):
+            return matvec(M, vr, vi) + matvec(dM, vr, vi)
+
+        @jax.jit
+        def step_products(p, g, c, re, im, vr, vi):
+            M = assemble_matrix(p, g, c, (re + 1j * im).astype(cdtype),
+                                quad, chunk, tiers, fused)
+            mr, mi = matvec(M, vr, vi)
+            return M, mr, mi
+
+        @jax.jit
+        def refresh_products(M, M_prev, dre, dim_):
+            vr, vi = nullvec(M)
+            dM = (M - M_prev) / (dre + 1j * dim_).astype(M.dtype)
+            return (vr, vi) + matvec(M, vr, vi) + matvec(dM, vr, vi)
+
+        _POLISH_JIT_CACHE[key] = (nullvec, init_products, step_products,
+                                  refresh_products)
+    return _POLISH_JIT_CACHE[key]
+
+
 def host64_polish(p, grid, coeff, state: EigenState, tol: float,
                   max_steps: int = 8, quad=None, chunk: int = 2048,
-                  tiers=None, fused: bool = False):
-    """Hybrid-precision refinement: device (f32) assembly + HOST complex128
-    linear algebra.
+                  tiers=None, fused: bool = False,
+                  transfer: str = "vectors"):
+    """Hybrid-precision refinement: device (f32) assembly + host complex128
+    secant updates.
 
     The f32 Newton iteration plateaus at the f32 rounding noise of the
     trace solve (~1e-4 relative on ill-conditioned electromagnetic cases),
     while f32 ASSEMBLY rounding is harmless (validated: f32-assembled
     operators converge to within 8e-6 of the f64 golden when the linalg is
-    f64).  So after the device loop, keep assembling on the TPU but run the
-    bordered-secant update in numpy complex128 on the host.
+    f64).  So after the device loop, keep assembling on the TPU and drive a
+    bordered-secant update on the scalar g(omega) = v^T M(omega) v in host
+    complex128 (the reference's convergence criterion |d_omega| <
+    tol*|omega|, main.cpp:53-56).
 
-    The null vector v is expensive (one O(n^3) host LU per refresh -- ~5 s
-    at the electromagnetic dim 2048 on a 2-core host) but the bilinear
-    zero of g(omega) = v^T M(omega) v is QUADRATICALLY insensitive to v
-    error (v is a stationary point of the complex-symmetric Rayleigh
-    quotient), so the secant loop keeps v FROZEN and only refreshes it --
-    with a fresh LU + inverse iteration -- when the loop first signals
-    convergence, then re-verifies the criterion with the refreshed v.
-    2 LUs total instead of one per step: the stel1024 polish drops from
-    ~52 s to ~15 s at the same fixed point (BENCH_STEL.md).  Returns
-    (omega, eigenvector, extra_steps).
+    The null vector v is kept FROZEN across secant steps -- the bilinear
+    zero of g is QUADRATICALLY insensitive to v error (v is a stationary
+    point of the complex-symmetric Rayleigh quotient) -- and refreshed,
+    by inverse iteration on the near-singular converged operator, only when
+    the loop first signals convergence; the criterion is then re-verified
+    with the refreshed v.
+
+    ``transfer`` (the round-5 fix for the tunnel tax):
+      * ``"vectors"`` (default): with v frozen, v^T dM v = (g_new -
+        g_old) / d_omega, so each step needs only the device-computed M@v
+        n-vector (~16 KB) -- the full operator NEVER crosses the
+        host<->device tunnel (~33 MB/step at the electromagnetic dim 2048,
+        ~1.1 s each through the ~30 MB/s axon link, which had doubled the
+        stel1024 wall-clock).  v itself comes from device f32 inverse
+        iteration; its ~1e-4 error enters g quadratically (~1e-8), far
+        below the 1e-6 certification bar.
+      * ``"full"``: the pre-round-5 path -- fetch the full operator each
+        step and run numpy complex128 matvecs on the host.  Kept as the
+        arbitration path for the accumulation-noise A/B test.
+
+    Returns (omega, eigenvector, extra_steps).
     """
+    from ..utils.transfer import fetch
+
+    if transfer == "full":
+        return _host64_polish_full(p, grid, coeff, state, tol, max_steps,
+                                   quad, chunk, tiers, fused)
+    if transfer != "vectors":
+        raise ValueError(f"transfer must be 'vectors' or 'full', "
+                         f"got {transfer!r}")
+
+    nullvec, init_products, step_products, refresh_products = _polish_fns(
+        quad, chunk, grid.eta.dtype, tiers, fused)
+
+    def c128(re, im):
+        return (np.asarray(re, np.float64) + 1j * np.asarray(im, np.float64))
+
+    rdtype = grid.eta.dtype
+    omega = fetch_complex(state.omega)
+    vr, vi = nullvec(state.M)
+    v64 = c128(vr, vi)
+    mvr, mvi, dmr, dmi = init_products(state.M, state.dM, vr, vi)
+    g = v64 @ c128(mvr, mvi)
+    gp = v64 @ c128(dmr, dmi)
+    M_dev = state.M
+    refreshed = False
+    steps = 0
+    for _ in range(max_steps):
+        d_omega = -g / gp
+        omega = omega + d_omega
+        steps += 1
+        converged = abs(d_omega) < tol * abs(omega)
+        if converged and refreshed:
+            break
+        M_new, mr2, mi2 = step_products(p, grid, coeff,
+                                        jnp.asarray(omega.real, rdtype),
+                                        jnp.asarray(omega.imag, rdtype),
+                                        vr, vi)
+        g_new = v64 @ c128(mr2, mi2)
+        gp = (g_new - g) / d_omega
+        g = g_new
+        M_prev, M_dev = M_dev, M_new
+        if converged:
+            # refresh v on the converged (near-singular) operator and let
+            # the next pass re-verify the criterion with it; the secant
+            # derivative is rebuilt as v_new^T [(M - M_prev)/d_omega] v_new
+            vr, vi, mvr, mvi, dmr, dmi = refresh_products(
+                M_dev, M_prev,
+                jnp.asarray(d_omega.real, rdtype),
+                jnp.asarray(d_omega.imag, rdtype))
+            v64 = c128(vr, vi)
+            g = v64 @ c128(mvr, mvi)
+            gp = v64 @ c128(dmr, dmi)
+            refreshed = True
+
+    if not refreshed:  # step limit hit before a confirming pass
+        vr, vi = nullvec(M_dev)
+        v64 = c128(vr, vi)
+    return omega, v64, steps
+
+
+def _host64_polish_full(p, grid, coeff, state: EigenState, tol: float,
+                        max_steps: int = 8, quad=None, chunk: int = 2048,
+                        tiers=None, fused: bool = False):
+    """Pre-round-5 polish: fetches the FULL operator every secant step
+    (~33 MB at dim 2048 through the ~30 MB/s tunnel).  Retained only as
+    the numerics arbitration path for ``transfer="vectors"``."""
     import scipy.linalg
 
     from ..utils.transfer import fetch

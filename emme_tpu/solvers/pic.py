@@ -143,7 +143,13 @@ def _gather_cic_matmul(table, idx, nf, chunk: int = 8192, bf16: bool = False):
     round-3 version; callers index rows.  ``chunk`` kept for API compat."""
     dt = jnp.bfloat16 if bf16 else table.dtype
     oh = jax.nn.one_hot(idx % nf, nf, dtype=dt)            # (m, nf), fused
-    return (table.astype(dt).T @ oh.T).astype(table.dtype)
+    # preferred_element_type makes the f32 accumulation EXPLICIT for the
+    # bf16-operand product (the TPU MXU accumulates f32 internally, but the
+    # declared output dtype would otherwise be bf16 -- and CPU/interpret
+    # backends would honor that with a lossy bf16 accumulator over ~1M
+    # markers; ADVICE r4)
+    return jnp.matmul(table.astype(dt).T, oh.T,
+                      preferred_element_type=table.dtype)
 
 
 def gather_cic(field, idx, w, nf, cw, method: str | None = None):
@@ -231,7 +237,9 @@ def _deposit_matmul(den, idx, w, nf, chunk: int = 8192, bf16: bool = False):
                       jnp.real(den) * w, jnp.imag(den) * w], axis=0)
     dt = jnp.bfloat16 if bf16 else vals.dtype
     oh = jax.nn.one_hot(idx % nf, nf, dtype=dt)            # (m, nf), fused
-    y = (vals.astype(dt) @ oh).astype(rdt)                 # (4, nf), f32 acc
+    # explicit f32 accumulation for the bf16 operands (see gather; ADVICE r4)
+    y = jnp.matmul(vals.astype(dt), oh,
+                   preferred_element_type=rdt)             # (4, nf), f32 acc
     left = y[0] + 1j * y[1]
     right = y[2] + 1j * y[3]
     return left + jnp.roll(right, 1)
@@ -582,7 +590,10 @@ def run_sorted(p, marker_per_cell: int, n_steps: int, dt, key=None,
 
     nf = p.npoints
     cw = 2.0 * float(p.length) / nf
-    W = int(window)
+    # a window wider than the grid is pointless and would make the
+    # window-base clip bound negative (wrap-around gathers / non-positive
+    # bucket counts downstream; ADVICE r4) -- clamp to the grid
+    W = min(int(window), nf)
     quant = max(1, W // 8)     # window-base quantum for the deposit fold
     # the window-escape guarantee: between sorts the fastest marker drifts
     # R * dt * vmax * sum|substep| / (q R_major); the window margin after
