@@ -25,10 +25,14 @@ REF_SECONDS = 146.2
 GOLDEN = complex(0.837758, 0.203384)  # (omega, gamma) fitted by the reference
 
 
-def run_canonical() -> float:
+def run_canonical(backend: str | None = None) -> float:
     """Run the canonical PIC case once (after a warm-up) and return the
     wall-clock seconds; asserts the fitted (omega, gamma) statistically
-    against the reference golden.  Shared by __main__ and bench.py."""
+    against the reference golden.  Shared by __main__ and bench.py.
+
+    ``backend``: 'fused' (the hand-fused Pallas marker kernel,
+    solvers/pallas_pic.py -- the TPU default), 'xla' (the one-hot matmul
+    chain), or None = fused on TPU / xla elsewhere."""
     import jax
     jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
     import jax.numpy as jnp
@@ -41,15 +45,28 @@ def run_canonical() -> float:
     on_tpu = jax.default_backend() not in ("cpu",)
     p = from_config(cfg, dtype=jnp.float32 if on_tpu else
                     jnp.asarray(0.0).dtype)
+    if backend is None:
+        backend = "fused" if on_tpu else "xla"
 
-    run = jax.jit(lambda key: pic.run(p, cfg["marker_per_cell"],
-                                      cfg["step_number"], cfg["time_step"],
-                                      key=key)[0])
-    print("warm-up (compilation)...", file=sys.stderr, flush=True)
-    np.asarray(run(jax.random.PRNGKey(0)))
+    if backend == "fused":
+        from emme_tpu.solvers import pallas_pic
+
+        def run(key):
+            return np.asarray(pallas_pic.run(
+                p, cfg["marker_per_cell"], cfg["step_number"],
+                cfg["time_step"], key=key)[0])
+    else:
+        run_jit = jax.jit(lambda key: pic.run(
+            p, cfg["marker_per_cell"], cfg["step_number"],
+            cfg["time_step"], key=key)[0])
+        run = lambda key: np.asarray(run_jit(key))
+
+    print(f"warm-up (compilation, {backend})...", file=sys.stderr,
+          flush=True)
+    run(jax.random.PRNGKey(0))
 
     t0 = time.time()
-    stats = np.asarray(run(jax.random.PRNGKey(1)))
+    stats = run(jax.random.PRNGKey(1))
     elapsed = time.time() - t0
 
     om = pic.calculate_omega(stats, cfg["time_step"])

@@ -252,8 +252,12 @@ def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
                    dtype=jnp.float64, seed: int = 0, mesh=None, **_) -> dict:
     """One PIC-method solve (main.cpp:82-137).
 
-    Config surface beyond the reference: ``gather_method`` ('take' |
-    'matmul'), ``deposit_method`` ('segment' | 'matmul'), ``pic_timers``
+    Config surface beyond the reference: ``pic_backend`` ('auto' | 'fused' |
+    'xla': the hand-fused Pallas marker kernel -- default on TPU for
+    f32 / npoints%128==0 runs -- vs the XLA chain), ``pic_precision``
+    ('default' | 'high' | 'highest' MXU passes in the fused kernel),
+    ``gather_method`` ('take' | 'matmul'), ``deposit_method`` ('segment' |
+    'matmul'), ``pic_timers``
     (per-phase Particle Pushing / Field Solve / Diagnostics sections via a
     host-driven loop), ``time_step_adaptive`` (embedded-error step control,
     the reference Integrator's step_adaptive that its main() never wires
@@ -324,11 +328,39 @@ def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
                 gather_method=cfg.get("gather_method"),
                 deposit_method=cfg.get("deposit_method"))
         else:
-            stats, state, fields = pic.run(
-                p, mpc, nt, dt, key=key,
-                record_fields=matrix_file is not None,
-                gather_method=cfg.get("gather_method"),
-                deposit_method=cfg.get("deposit_method"))
+            backend = cfg.get("pic_backend", "auto")
+            if backend not in ("auto", "fused", "xla"):
+                raise ValueError(f"pic_backend must be auto|fused|xla, "
+                                 f"got {backend!r}")
+            m = mpc * int(p.npoints)
+            fused_ok = (jnp.dtype(dtype) == jnp.float32
+                        and int(p.npoints) % 128 == 0 and m % 1024 == 0)
+            if backend == "fused" and not fused_ok:
+                raise ValueError(
+                    "pic_backend='fused' needs f32, npoints % 128 == 0 "
+                    "and markers % 1024 == 0")
+            # auto never drops the buffered field dump silently; explicit
+            # 'fused' trades the dump for speed (streaming runs keep the
+            # XLA path either way)
+            use_fused = backend == "fused" or (
+                backend == "auto" and fused_ok and matrix_file is None
+                and jax.default_backend() == "tpu")
+            if use_fused:
+                # hand-fused Pallas marker pass (solvers/pallas_pic.py):
+                # ~7x the XLA path on TPU, statistically identical
+                from .solvers import pallas_pic
+                stats, state, fields = pallas_pic.run(
+                    p, mpc, nt, dt, key=key,
+                    precision=cfg.get("pic_precision", "default"))
+            else:
+                # run_jitted: the eager composition is not runnable on the
+                # TPU backend (eager complex ops unimplemented) and would
+                # recompile per scan point
+                stats, state, fields = pic.run_jitted(
+                    p, mpc, nt, dt, key=key,
+                    record_fields=matrix_file is not None,
+                    gather_method=cfg.get("gather_method"),
+                    deposit_method=cfg.get("deposit_method"))
 
     if matrix_file is not None and fields is not None:
         fetch(fields).astype(np.complex128).tofile(matrix_file)

@@ -78,7 +78,10 @@ def quasi_neutrality_coef(p, dtype=jnp.float64):
     i0s, _, _ = bessel_i01_scaled(b.astype(
         jnp.complex128 if dtype == jnp.float64 else jnp.complex64))
     gamma0 = jnp.real(i0s)  # I0(b) e^{-b} for real b >= 0
-    return 1.0 / ((1.0 + 1.0 / p.tau - gamma0) * cw)
+    # pin the dtype: bessel_i01_scaled's f64 internals upcast under an
+    # x64-enabled config even for f32 inputs, which would silently promote
+    # the whole PIC state (caught by the fused-kernel parity tests, r5)
+    return (1.0 / ((1.0 + 1.0 / p.tau - gamma0) * cw)).astype(dtype)
 
 
 def init_state(p, marker_per_cell: int, key, dtype=jnp.float64) -> PICState:
@@ -303,10 +306,13 @@ def rk3_generic(state, velocity_fn, update_fn, dt):
     v = []
     for stage in range(3):
         v.append(velocity_fn(state))
+        # float(): np.float64 tableau scalars are STRONG-typed and would
+        # promote the whole f32 state under an x64-enabled config
         combo = jax.tree_util.tree_map(
-            lambda *xs: sum(RK_COEF[stage][k] * x for k, x in enumerate(xs)),
+            lambda *xs: sum(float(RK_COEF[stage][k]) * x
+                            for k, x in enumerate(xs)),
             *v)
-        state = update_fn(state, combo, RK_COEF[stage][stage + 1] * dt)
+        state = update_fn(state, combo, float(RK_COEF[stage][stage + 1]) * dt)
     return state, v
 
 
@@ -314,7 +320,8 @@ def rk3_error_estimate(v, dt, norm_fn):
     """Embedded error combination sum_k coef[3][k] v_k scaled by dt
     (solver_pic.h:437-457)."""
     combo = jax.tree_util.tree_map(
-        lambda *xs: sum(RK_COEF[3][k] * x for k, x in enumerate(xs)), *v)
+        lambda *xs: sum(float(RK_COEF[3][k]) * x for k, x in enumerate(xs)),
+        *v)
     return norm_fn(combo, dt)
 
 
@@ -553,8 +560,8 @@ def rk3_step_sorted(p, s: PICState, dt, qn_coef, w0, W: int, G: int,
     for stage in range(3):
         vel, vg = put_velocity_sorted(p, s, w0, W, G)
         v.append(vel)
-        combo = sum(RK_COEF[stage][k] * x for k, x in enumerate(v))
-        sub_dt = RK_COEF[stage][stage + 1] * dt
+        combo = sum(float(RK_COEF[stage][k]) * x for k, x in enumerate(v))
+        sub_dt = float(RK_COEF[stage][stage + 1]) * dt
         eta = s.eta + s.v_para * sub_dt / (p.q * p.R)
         weight = s.weight + combo * sub_dt
         s = PICState(eta=eta, v_para=s.v_para, v_perp=s.v_perp,
@@ -666,6 +673,41 @@ def run(p, marker_per_cell: int, n_steps: int, dt, key=None,
     return stats, s_final, fields
 
 
+_PREP_JIT_CACHE: dict = {}
+
+
+def _prepare_jit(marker_per_cell: int, dtype):
+    """Cached jitted (init_state, quasi_neutrality_coef) prologue: the eager
+    composition breaks on the TPU backend (eager complex ops are
+    unimplemented) and would recompile per scan point otherwise."""
+    key = (marker_per_cell, jnp.dtype(dtype).name)
+    if key not in _PREP_JIT_CACHE:
+        _PREP_JIT_CACHE[key] = jax.jit(lambda p, k: (
+            init_state(p, marker_per_cell, k, dtype=dtype),
+            quasi_neutrality_coef(p, dtype=dtype)))
+    return _PREP_JIT_CACHE[key]
+
+
+_RUN_JIT_CACHE: dict = {}
+
+
+def run_jitted(p, marker_per_cell: int, n_steps: int, dt, key,
+               record_fields: bool = False, gather_method: str | None = None,
+               deposit_method: str | None = None):
+    """``run`` through a module-cached jit wrapper -- the driver-facing
+    entry: runnable on TPU (no eager ops) and compiled once per
+    (shape, options) across scan points."""
+    k = (marker_per_cell, n_steps, record_fields, gather_method,
+         deposit_method)
+    if k not in _RUN_JIT_CACHE:
+        _RUN_JIT_CACHE[k] = jax.jit(lambda p, dt, key: run(
+            p, marker_per_cell, n_steps, dt, key=key,
+            record_fields=record_fields, gather_method=gather_method,
+            deposit_method=deposit_method))
+    dtype = jnp.asarray(p.length).dtype
+    return _RUN_JIT_CACHE[k](p, jnp.asarray(dt, dtype), key)
+
+
 def run_streaming(p, marker_per_cell: int, n_steps: int, dt, stream_path,
                   key=None, chunk_steps: int = 16,
                   gather_method: str | None = None,
@@ -687,8 +729,7 @@ def run_streaming(p, marker_per_cell: int, n_steps: int, dt, stream_path,
 
     key = key if key is not None else jax.random.PRNGKey(0)
     dtype = jnp.asarray(p.length).dtype
-    s0 = init_state(p, marker_per_cell, key, dtype=dtype)
-    qn_coef = quasi_neutrality_coef(p, dtype=dtype)
+    s0, qn_coef = _prepare_jit(marker_per_cell, dtype)(p, key)
 
     def body(s, _):
         s, _v = rk3_step(p, s, dt, qn_coef, None,
@@ -727,8 +768,7 @@ def run_timed(p, marker_per_cell: int, n_steps: int, dt, key=None,
     key = key if key is not None else jax.random.PRNGKey(0)
     dtype = jnp.asarray(p.length).dtype
     with section("Initial"):
-        s0 = init_state(p, marker_per_cell, key, dtype=dtype)
-        qn_coef = quasi_neutrality_coef(p, dtype=dtype)
+        s0, qn_coef = _prepare_jit(marker_per_cell, dtype)(p, key)
         jax.block_until_ready(s0.field)
 
     vel_jit = jax.jit(lambda s: put_velocity(p, s))
