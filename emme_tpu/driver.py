@@ -118,14 +118,14 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
     M_dump = None
     with section("Iteration"):
         if backend == "sparse" and mesh is not None:
-            if method != "TraceSecant":
-                raise ValueError(
-                    "mesh-distributed sparse solve supports "
-                    f"iteration_method='TraceSecant' only, got {method!r}")
+            # TraceSecant = the reference iteration; QRSecant routes to the
+            # distributed bordered-Newton update (same mapping as the
+            # single-device sparse backend -- the banded path has no dense
+            # column-pivoted QR to mirror)
             from .parallel import spike
             omega, vec, n_steps, M_dump = spike.solve(
                 p, omega_guess, mesh, tol=tol, quad=quad, chunk=chunk,
-                host64=host64,
+                host64=host64, method=method,
                 band_deta=cfg.get("band_deta"),
                 block=cfg.get("band_block"),
                 tiered=cfg.get("quad_tiered"),
@@ -147,9 +147,19 @@ def solve_once_eigen(cfg: dict, omega_guess: complex, matrix_file=None,
             M_dump = state.M
         elif backend == "dense" and mesh is not None:
             if method != "TraceSecant":
+                # QRSecant stays single-device on the dense backend: the
+                # column-pivoted QR's greedy pivot sweep is a sequential
+                # whole-matrix recursion (ops/linalg.qr_column_pivoted) with
+                # no row-sharded formulation that preserves the reference
+                # trajectory; use the sparse backend for distributed
+                # non-trace iterations.  (Documented + tested error.)
                 raise ValueError(
                     "mesh-sharded dense solve supports "
-                    f"iteration_method='TraceSecant' only, got {method!r}")
+                    f"iteration_method='TraceSecant' only, got {method!r}; "
+                    "QRSecant is single-device on the dense backend "
+                    "(sequential pivoted-QR recursion) -- use "
+                    "eigen_backend='sparse' for a distributed bordered "
+                    "iteration")
             from .parallel import sharded
             omega, vec, n_steps, state = sharded.solve(
                 p, omega_guess, mesh, tol=tol, quad=quad, chunk=chunk,
@@ -268,7 +278,10 @@ def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
     nt = int(cfg["step_number"])
     dt = float(cfg["time_step"])
 
-    fits = {"peak": pic.calculate_omega, "fft": pic.calculate_omega_fft}
+    fits = {"peak": pic.calculate_omega,
+            "peak_views": lambda s, dt: pic.calculate_omega(s, dt,
+                                                            views=True),
+            "fft": pic.calculate_omega_fft}
     fit_name = cfg.get("omega_fit", "peak")
     if fit_name not in fits:
         raise ValueError(
@@ -366,7 +379,9 @@ def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
         fetch(fields).astype(np.complex128).tofile(matrix_file)
 
     # omega_fit: "peak" reproduces the reference's peak-count fit (unsigned
-    # frequency, solver_pic.h:514-527); "fft" resolves the frequency sign.
+    # frequency, solver_pic.h:514-527); "peak_views" its EMME_USE_VIEWS
+    # gamma time-weight convention (solver_pic.h:479-489); "fft" resolves
+    # the frequency sign.
     if adaptive:
         omega = pic.calculate_omega_nonuniform(times, stats)
     else:

@@ -134,17 +134,33 @@ def solve(p, omega_init, mesh: Mesh, tol: float | None = None, quad=None,
     coeff = singularity_coeff_matrix(p.npoints, dtype=dtype)
     init, step = _dense_fns(mesh, quad, chunk, dtype)
     omega_init = complex(omega_init)
-    dev_tol = max(tol, 2e-4) if host64 else tol
+    # f32 loops stop at their runtime-detected rounding floor (stagnation
+    # detector, see eigen.solve) instead of a hard-coded 2e-4 plateau
+    dev_tol = tol
+    f32 = dtype != jnp.float64
     with mesh:
         state = init(p, grid, coeff, jnp.asarray(omega_init.real, dtype),
                      jnp.asarray(omega_init.imag, dtype))
         n_steps = 0
+        d_prev, sc = float("inf"), 0
         for j in range(p.iteration_step_limit + 1):
+            prev = state
             state = step(p, grid, coeff, state)
             n_steps = j + 1
-            if abs(fetch_complex(state.d_omega)) < \
-                    dev_tol * abs(fetch_complex(state.omega)):
+            adw = abs(fetch_complex(state.d_omega))
+            aw = abs(fetch_complex(state.omega))
+            if f32 and not (np.isfinite(adw) and np.isfinite(aw)):
+                state = prev   # f32 floor blow-up: keep last good state
                 break
+            if adw < dev_tol * aw:
+                break
+            if f32 and adw < 1e-3 * aw and adw > 0.8 * d_prev:
+                sc += 1
+                if sc >= 2:   # runtime rounding-floor detection
+                    break
+            else:
+                sc = 0
+            d_prev = adw
         if host64:
             omega, v, extra = host64_polish(p, grid, coeff, state, tol,
                                             quad=quad, chunk=chunk)
@@ -172,6 +188,76 @@ def shard_bdia(op, mesh: Mesh):
     data = jax.device_put(
         op.data, NamedSharding(mesh, P(None, "rows", None, None, None)))
     return data, halo
+
+
+def bdia_matvec_local(d_local, offsets, halo: int, n_shards: int,
+                      xr_loc, xi_loc, axis_name: str = "rows",
+                      overlap: bool = True):
+    """Shard-LOCAL body of the halo-exchange BDIA matvec: callable from
+    inside any shard_map over the ``rows`` axis (the SPIKE bordered step
+    reuses it for its distributed bilinears).  See sharded_bdia_matvec for
+    the stripe-relay/overlap semantics."""
+    bs = d_local.shape[-1]
+    nbl = d_local.shape[1]
+    x_loc = jnp.stack([xr_loc.reshape(nbl, bs),
+                       xi_loc.reshape(nbl, bs)])           # (2, nbl, bs)
+    hops = -(-halo // nbl)  # stripes needed per side
+
+    to_right = [(i, i + 1) for i in range(n_shards - 1)]
+    to_left = [(i + 1, i) for i in range(n_shards - 1)]
+
+    dn = "dnij,dnj->ni"
+    yr = jnp.zeros((nbl, bs), x_loc.dtype)
+    yi = jnp.zeros((nbl, bs), x_loc.dtype)
+
+    def contract(ds, x_ext, base, yr, yi):
+        """Accumulate the contributions of block diagonals ``ds`` from
+        the extended-x window currently in hand."""
+        if not ds:
+            return yr, yi
+        sel = np.array([offsets.index(d) for d in ds])
+        gxr = jnp.stack([jax.lax.dynamic_slice_in_dim(
+            x_ext[0], base + d, nbl, axis=0) for d in ds])
+        gxi = jnp.stack([jax.lax.dynamic_slice_in_dim(
+            x_ext[1], base + d, nbl, axis=0) for d in ds])
+        ar = d_local[sel, :, 0]
+        ai = d_local[sel, :, 1]
+        yr = yr + jnp.einsum(dn, ar, gxr) - jnp.einsum(dn, ai, gxi)
+        yi = yi + jnp.einsum(dn, ar, gxi) + jnp.einsum(dn, ai, gxr)
+        return yr, yi
+
+    if not overlap:
+        # serialized reference path: relay everything, then contract
+        stripes = [x_loc]
+        buf = x_loc
+        for _ in range(hops):
+            buf = jax.lax.ppermute(buf, axis_name, to_right)
+            stripes.insert(0, buf)
+        buf = x_loc
+        for _ in range(hops):
+            buf = jax.lax.ppermute(buf, axis_name, to_left)
+            stripes.append(buf)
+        x_ext = jnp.concatenate(stripes, axis=1)
+        yr, yi = contract(list(offsets), x_ext, hops * nbl, yr, yi)
+        return yr.reshape(-1), yi.reshape(-1)
+
+    # overlapped path: contract what each hop unlocks while the next
+    # stripe pair flies.  left[s] = stripe from s hops left, etc.
+    left = [x_loc]   # stripes covering x blocks [-s*nbl .. )
+    right = [x_loc]  # stripes covering x blocks [+s*nbl .. )
+    done: set = set()
+    for k in range(hops + 1):
+        if k:
+            left.append(jax.lax.ppermute(left[-1], axis_name, to_right))
+            right.append(jax.lax.ppermute(right[-1], axis_name, to_left))
+        ds = [d for d in offsets
+              if abs(d) <= k * nbl and d not in done]
+        if ds:
+            # window of stripes [-k..k] around local
+            x_ext = jnp.concatenate(left[k::-1] + right[1:k + 1], axis=1)
+            yr, yi = contract(ds, x_ext, k * nbl, yr, yi)
+            done |= set(ds)
+    return yr.reshape(-1), yi.reshape(-1)
 
 
 def sharded_bdia_matvec(data, offsets, halo: int, mesh: Mesh, xr, xi,
@@ -202,69 +288,10 @@ def sharded_bdia_matvec(data, offsets, halo: int, mesh: Mesh, xr, xi,
     Returns (yr, yi) sharded the same way.
     """
     n_shards = mesh.shape["rows"]
-    bs = data.shape[-1]
 
     def shard_fn(d_local, xr_loc, xi_loc):
-        nbl = d_local.shape[1]
-        x_loc = jnp.stack([xr_loc.reshape(nbl, bs),
-                           xi_loc.reshape(nbl, bs)])           # (2, nbl, bs)
-        hops = -(-halo // nbl)  # stripes needed per side
-
-        to_right = [(i, i + 1) for i in range(n_shards - 1)]
-        to_left = [(i + 1, i) for i in range(n_shards - 1)]
-
-        dn = "dnij,dnj->ni"
-        yr = jnp.zeros((nbl, bs), x_loc.dtype)
-        yi = jnp.zeros((nbl, bs), x_loc.dtype)
-
-        def contract(ds, x_ext, base, yr, yi):
-            """Accumulate the contributions of block diagonals ``ds`` from
-            the extended-x window currently in hand."""
-            if not ds:
-                return yr, yi
-            sel = np.array([offsets.index(d) for d in ds])
-            gxr = jnp.stack([jax.lax.dynamic_slice_in_dim(
-                x_ext[0], base + d, nbl, axis=0) for d in ds])
-            gxi = jnp.stack([jax.lax.dynamic_slice_in_dim(
-                x_ext[1], base + d, nbl, axis=0) for d in ds])
-            ar = d_local[sel, :, 0]
-            ai = d_local[sel, :, 1]
-            yr = yr + jnp.einsum(dn, ar, gxr) - jnp.einsum(dn, ai, gxi)
-            yi = yi + jnp.einsum(dn, ar, gxi) + jnp.einsum(dn, ai, gxr)
-            return yr, yi
-
-        if not overlap:
-            # serialized reference path: relay everything, then contract
-            stripes = [x_loc]
-            buf = x_loc
-            for _ in range(hops):
-                buf = jax.lax.ppermute(buf, "rows", to_right)
-                stripes.insert(0, buf)
-            buf = x_loc
-            for _ in range(hops):
-                buf = jax.lax.ppermute(buf, "rows", to_left)
-                stripes.append(buf)
-            x_ext = jnp.concatenate(stripes, axis=1)
-            yr, yi = contract(list(offsets), x_ext, hops * nbl, yr, yi)
-            return yr.reshape(-1), yi.reshape(-1)
-
-        # overlapped path: contract what each hop unlocks while the next
-        # stripe pair flies.  left[s] = stripe from s hops left, etc.
-        left = [x_loc]   # stripes covering x blocks [-s*nbl .. )
-        right = [x_loc]  # stripes covering x blocks [+s*nbl .. )
-        done: set = set()
-        for k in range(hops + 1):
-            if k:
-                left.append(jax.lax.ppermute(left[-1], "rows", to_right))
-                right.append(jax.lax.ppermute(right[-1], "rows", to_left))
-            ds = [d for d in offsets
-                  if abs(d) <= k * nbl and d not in done]
-            if ds:
-                # window of stripes [-k..k] around local
-                x_ext = jnp.concatenate(left[k::-1] + right[1:k + 1], axis=1)
-                yr, yi = contract(ds, x_ext, k * nbl, yr, yi)
-                done |= set(ds)
-        return yr.reshape(-1), yi.reshape(-1)
+        return bdia_matvec_local(d_local, offsets, halo, n_shards,
+                                 xr_loc, xi_loc, "rows", overlap)
 
     return shard_map(
         shard_fn, mesh=mesh,

@@ -833,15 +833,22 @@ def run_adaptive(p, marker_per_cell: int, total_time: float, dt0, key=None,
     return np.asarray(times), np.stack(stats_l), s
 
 
-def _fit_gamma(second, dt):
+def _fit_gamma(second, dt, views: bool = False):
     """LSQ slope of log rms(phi) over the (already-halved) window — the
-    closed form of solver_pic.h:490-501.  NB the reference pairs weights
-    t_i = i*dt (starting at 0) with the (nn+1) coefficient that belongs to
-    t_i = (i+1)*dt, which biases gamma by -12*mean(vals)/(dt*(nn^2-1))
-    (equivalently -12*sum(vals)/(dt*nn*(nn^2-1)));
-    reproduced faithfully here (calculate_omega_fft uses the unbiased fit)."""
+    closed form of solver_pic.h:490-501.  The two compile-time conventions:
+
+    * plain (default): the reference loop weights val*t BEFORE t += dt, so
+      t_i = i*dt starting at 0 — paired with the (nn+1) coefficient that
+      belongs to t_i = (i+1)*dt, this biases gamma by
+      -12*sum(vals)/(dt*nn*(nn^2-1)); reproduced faithfully
+      (calculate_omega_fft uses the unbiased fit).
+    * ``views`` (EMME_USE_VIEWS, solver_pic.h:479-489): the accumulate
+      lambda increments t FIRST, so t_i = (i+1)*dt — the unbiased pairing.
+
+    Both pinned against the reference compiled each way
+    (tests/goldens/omega_fit.json)."""
     vals = np.log(second[:, 2])
-    t = dt * np.arange(len(vals))
+    t = dt * (np.arange(len(vals)) + (1 if views else 0))
     weighted_sum = float(np.sum(vals * t))
     ssum = float(np.sum(vals))
     nn = len(vals)
@@ -849,14 +856,15 @@ def _fit_gamma(second, dt):
             / (dt * dt * nn * (nn * nn - 1)))
 
 
-def calculate_omega(stats, dt):
+def calculate_omega(stats, dt, views: bool = False):
     """gamma from the LSQ slope of log rms(phi) over the second half; omega
-    from peak spacing of log|mean Re phi| (solver_pic.h:475-529, the
-    non-EMME_USE_VIEWS branch where the time weight starts at 0)."""
+    from peak spacing of log|mean Re phi| (solver_pic.h:475-529);
+    ``views`` selects the EMME_USE_VIEWS time-weight convention for gamma
+    (the omega peak fit is identical in both builds)."""
     stats = np.asarray(stats)
     n = len(stats) // 2
     second = stats[n:]
-    gamma = _fit_gamma(second, dt)
+    gamma = _fit_gamma(second, dt, views=views)
 
     real_log = np.log(np.abs(second[:, 0]))
     peaks = [i for i in range(1, len(real_log) - 1)

@@ -750,26 +750,48 @@ def _traced_fn(h, block, quad, chunk, dtype, method, tiers,
         step_fn = trace_newton_step if method == "TraceSecant" \
             else bordered_newton_step
 
+        # runtime rounding-floor detection for f32 (see
+        # eigen._traced_solve_fn: replaces the hard-coded 2e-4 plateau)
+        detect_floor = jnp.dtype(cdtype) == jnp.complex64
+        rdtype = jnp.float64 if cdtype == jnp.complex128 else jnp.float32
+
         def run(p, g, cb, re, im, tol, max_steps):
             state = init_state(p, g, cb, (re + 1j * im).astype(cdtype),
                                h, block, quad, chunk, tiers, fused)
 
             def cond(carry):
-                state, j, done = carry
+                state, j, done, d_prev, sc = carry
                 return jnp.logical_and(j < max_steps,
                                        jnp.logical_not(done))
 
             def body(carry):
-                state, j, _ = carry
-                state = step_fn(p, g, cb, state, h=h, block=block,
-                                quad=quad, chunk=chunk, tiers=tiers,
-                                fused=fused)
-                done = jnp.abs(state.d_omega) < tol * jnp.abs(state.omega)
-                return state, j + 1, done
+                state, j, _, d_prev, sc = carry
+                new = step_fn(p, g, cb, state, h=h, block=block,
+                              quad=quad, chunk=chunk, tiers=tiers,
+                              fused=fused)
+                adw = jnp.abs(new.d_omega)
+                aw = jnp.abs(new.omega)
+                done = adw < tol * aw
+                if detect_floor:
+                    ok = jnp.logical_and(jnp.isfinite(adw),
+                                         jnp.isfinite(aw))
+                    stag = jnp.logical_and(adw < 1e-3 * aw,
+                                           adw > 0.8 * d_prev)
+                    sc = jnp.where(jnp.logical_and(ok, stag), sc + 1, 0)
+                    done = jnp.logical_or(jnp.logical_and(done, ok),
+                                          jnp.logical_or(~ok, sc >= 2))
+                    state = jax.tree_util.tree_map(
+                        lambda n, o: jnp.where(ok, n, o), new, state)
+                    d_prev = jnp.where(ok, adw.astype(rdtype), d_prev)
+                else:
+                    state = new
+                    d_prev = adw.astype(rdtype)
+                return state, j + 1, done, d_prev, sc
 
-            state, n_steps, _ = jax.lax.while_loop(
+            state, n_steps, _, _, _ = jax.lax.while_loop(
                 cond, body,
-                (state, jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+                (state, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                 jnp.asarray(jnp.inf, rdtype), jnp.asarray(0, jnp.int32)))
             return state, n_steps
 
         _JIT_CACHE[key] = jax.jit(run)
@@ -865,7 +887,10 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
             stats["arnoldi_s"] = t_arnoldi
             stats["arnoldi_omega"] = est
 
-    dev_tol = max(tol, 2e-4) if host64 else tol
+    # f32 loops stop at their runtime-detected rounding floor (stagnation
+    # detector, see eigen.solve) instead of a hard-coded 2e-4 plateau
+    dev_tol = tol
+    f32 = dtype != jnp.float64
     if loop == "device":
         run = _traced_fn(h, block, quad, chunk, dtype, method, tiers,
                          fused)
@@ -878,12 +903,25 @@ def solve(p, omega_init, tol: float | None = None, quad=None,
         n_steps = int(n_dev)
     else:
         n_steps = 0
+        d_prev, sc = float("inf"), 0
         for j in range(p.iteration_step_limit + 1):
+            prev = state
             state = step(p, grid, coeff_band, state)
             n_steps = j + 1
-            if abs(eigen_mod.fetch_complex(state.d_omega)) < \
-                    dev_tol * abs(eigen_mod.fetch_complex(state.omega)):
+            adw = abs(eigen_mod.fetch_complex(state.d_omega))
+            aw = abs(eigen_mod.fetch_complex(state.omega))
+            if f32 and not (np.isfinite(adw) and np.isfinite(aw)):
+                state = prev   # f32 floor blow-up: keep last good state
                 break
+            if adw < dev_tol * aw:
+                break
+            if f32 and adw < 1e-3 * aw and adw > 0.8 * d_prev:
+                sc += 1
+                if sc >= 2:   # runtime rounding-floor detection
+                    break
+            else:
+                sc = 0
+            d_prev = adw
 
     if stats is not None:
         stats["nnz"] = state.M.nnz

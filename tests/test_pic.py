@@ -271,3 +271,28 @@ def test_run_sorted_matches_run(tokamak_cfg):
     fr = np.asarray(s_ref.field)
     fw = np.asarray(s_w.field)
     assert np.abs(fr - fw).max() < 1e-12 * np.abs(fr).max() + 1e-13
+
+
+def test_omega_fit_views_golden(goldens_dir):
+    """Both gamma time-weight conventions (plain loop vs EMME_USE_VIEWS,
+    solver_pic.h:479-501) match the reference binary compiled each way on
+    the deterministic series of tests/goldens/tools/gen_omega_fit.cpp."""
+    import json as _json
+    with open(goldens_dir / "omega_fit.json") as f:
+        g = _json.load(f)
+    dt, gam, w = 0.25, 0.21, 0.83
+    n = 180
+    i = np.arange(1, n + 1)
+    t = i * dt
+    grow = np.exp(gam * t)
+    stats = np.stack([grow * np.cos(w * t) + 1e-3 * np.sin(3.1 * t),
+                      grow * np.sin(w * t),
+                      grow * (1.0 + 0.01 * np.sin(1.7 * t))], axis=1)
+    om_plain = pic.calculate_omega(stats, dt)
+    om_views = pic.calculate_omega(stats, dt, views=True)
+    assert om_plain.real == pytest.approx(g["plain"][0], rel=1e-12)
+    assert om_plain.imag == pytest.approx(g["plain"][1], rel=1e-12)
+    assert om_views.real == pytest.approx(g["views"][0], rel=1e-12)
+    assert om_views.imag == pytest.approx(g["views"][1], rel=1e-12)
+    # the two conventions genuinely differ (the golden discriminates)
+    assert abs(om_plain.imag - om_views.imag) > 1e-3
