@@ -11,6 +11,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache (same as bench.py): the suite is compile-
+# dominated -- repeated runs on a host reuse every jitted solve instead of
+# recompiling ~100 programs (round-5 suite-time work, VERDICT r4 #4)
+jax.config.update("jax_compilation_cache_dir",
+                  str(pathlib.Path(__file__).parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest
 

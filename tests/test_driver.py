@@ -223,6 +223,7 @@ def test_driver_sparse_backend_matches_golden(tmp_path, tokamak_cfg,
     assert (tmp_path / "eigenMatrics" / "eigenMatrix.bin").exists()
 
 
+@pytest.mark.slow
 def test_bdia_dump_sidecar_roundtrip(tmp_path, tokamak_cfg):
     """The sparse backend's banded dump carries a JSON sidecar and
     load_bdia_dump reconstructs the operator (VERDICT r2 weak #6)."""

@@ -172,6 +172,7 @@ def test_quadrature_guard_em_moments_fire(stellarator_cfg):
     assert g_ok["frac_flagged"] == 0.0
 
 
+@pytest.mark.slow
 def test_quadrature_guard_tier_meshes(tokamak_cfg):
     """With tiers active the guard evaluates each pair on the tier-scaled
     mesh assembly would really use (ADVICE r2 medium): tier meshes pass on
@@ -273,9 +274,11 @@ def test_f32_floor_detection_terminates(tokamak_cfg):
     #6).  f64 runs keep the plain criterion (trajectory parity)."""
     cfg = dict(tokamak_cfg)
     cfg["npoints"] = 32
+    cfg["iteration_step_limit"] = 12   # detector must fire well before this
     p = from_config(cfg, dtype=jnp.float32)
-    om, vec, nsteps, _ = eigen.solve(p, -0.8 + 0.25j, tol=1e-9,
-                                     dtype=jnp.float32, loop="host")
+    om, vec, nsteps, _ = eigen.solve(
+        p, -0.8 + 0.25j, tol=1e-9, dtype=jnp.float32, loop="host",
+        quad={"n_shoulder": 8, "n_osc": 16, "n_tail": 4})
     # terminated by the detector, not the step limit
     assert nsteps <= p.iteration_step_limit
     ref = complex(-0.57422705089888304, 0.27430444022089473)

@@ -35,6 +35,7 @@ def test_fused_matches_xla_f32_tokamak(tok32_f32):
     assert d.max() < 5e-7
 
 
+@pytest.mark.slow
 def test_fused_em_moments_match_xla(stellarator_cfg):
     """All three EM moments from one fused sweep match the XLA path."""
     cfg = dict(stellarator_cfg, npoints=24)
@@ -52,6 +53,7 @@ def test_fused_em_moments_match_xla(stellarator_cfg):
         assert d.max() < 5e-6 * max(scale, 1.0)
 
 
+@pytest.mark.slow
 def test_fused_tiered_assembly_matrix(tok32_f32):
     """assemble_matrix(fused=True) with tier meshes equals the XLA-path
     matrix to the f32 floor."""

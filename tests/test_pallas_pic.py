@@ -35,7 +35,7 @@ def test_fused_matches_xla_trajectory(small_case):
     steps (covers the gather, physics, RK combos, deposit, field solve, and
     the first-stage j0 == 0 quirk)."""
     p = small_case
-    (sx, st_x), (sf, st_f) = _run_pair(p, 16, 4, 0.25, jax.random.PRNGKey(3))
+    (sx, st_x), (sf, st_f) = _run_pair(p, 8, 2, 0.25, jax.random.PRNGKey(3))
     assert np.abs(sx - sf).max() / np.abs(sx).max() < 1e-5
     # dc_pb = exp(-i phase) with a 1/v_para division in the phase: f32
     # rounding there lands on the unit circle amplified, hence the looser
@@ -55,7 +55,7 @@ def test_fused_nondc_branch(tokamak_cfg):
     cfg["npoints"] = 128
     cfg["drift_center_transformation_switch"] = False
     p = emme_tpu.from_config(cfg, dtype=jnp.float32)
-    (sx, _), (sf, _) = _run_pair(p, 16, 3, 0.25, jax.random.PRNGKey(5))
+    (sx, _), (sf, _) = _run_pair(p, 8, 2, 0.25, jax.random.PRNGKey(5))
     assert np.abs(sx - sf).max() / np.abs(sx).max() < 1e-5
 
 

@@ -165,6 +165,7 @@ class TestArnoldi:
         assert np.isfinite(ests).all()
 
 
+@pytest.mark.slow
 def test_sharded_bdia_matvec_multihop_overlap_modes(banded_matrix):
     """Wide-band case (halo spans 3 shard stripes): the overlapped
     double-buffered relay and the serialized relay produce identical

@@ -63,6 +63,7 @@ def test_sparse_solve_tok32_golden(golden_eigenvalues, tokamak_cfg):
     assert corr > 1 - 1e-5
 
 
+@pytest.mark.slow
 def test_sparse_solve_arnoldi_stage_recovers_far_guess(golden_eigenvalues,
                                                        tokamak_cfg):
     """From a deliberately bad guess, the shift-invert Arnoldi stage must
@@ -91,6 +92,7 @@ def test_host64_polish_banded_tok32(golden_eigenvalues, tokamak_cfg):
     assert np.linalg.norm(vec) == pytest.approx(1.0, rel=1e-6)
 
 
+@pytest.mark.slow
 def test_bdia_secant_matches_dense_secant(tokamak_cfg):
     cfg = dict(tokamak_cfg, npoints=32)
     p = from_config(cfg)
@@ -252,6 +254,7 @@ def test_bdia_to_bsr_matvec_parity(tokamak_cfg):
     assert bsr.nnzb == sum(nb - abs(d) for d in op.offsets)
 
 
+@pytest.mark.slow
 def test_sparse_solve_device_loop_matches_host(tokamak_cfg,
                                                golden_eigenvalues):
     cfg = dict(tokamak_cfg, npoints=32)

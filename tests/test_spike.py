@@ -43,6 +43,7 @@ def tok_op(tokamak_cfg):
     return _tok_op_build(tokamak_cfg)
 
 
+@pytest.mark.slow
 def test_assemble_window_matches_global(tok_op):
     p, grid, cband, op = tok_op
     nb = op.n // op.block
@@ -337,11 +338,12 @@ def test_driver_mesh_rows_scan_pic(tmp_path, tokamak_cfg):
         assert np.isfinite(o["eigenvalue"]).all(), o
 
 
+@pytest.mark.slow
 def test_sharded_bordered_matches_single_device(tokamak_cfg):
     """method='QRSecant' on the mesh (the distributed bordered-Newton
     update) walks the same trajectory as the single-device sparse backend's
     QRSecant (both route to the bordered update on the banded path)."""
-    cfg = dict(tokamak_cfg, npoints=128)
+    cfg = dict(tokamak_cfg, npoints=64)
     p = from_config(cfg)
     om_ref, _v, n_ref, _ = sparse_eigen.solve(
         p, -0.8 + 0.25j, tol=1e-6, quad=QUAD, block=8, band_deta=10.0,
@@ -358,7 +360,7 @@ def test_driver_mesh_method_combos(tmp_path, tokamak_cfg):
     documented error (VERDICT r4 next-round #7)."""
     from emme_tpu import driver
 
-    base = dict(tokamak_cfg, npoints=64, method="eigen",
+    base = dict(tokamak_cfg, npoints=32, method="eigen",
                 iteration_method="QRSecant",
                 mesh={"rows": 2}, quad_guard="off")
     # dense + mesh + QRSecant: documented single-device-only error

@@ -131,6 +131,7 @@ def test_native_stellarator_em_trajectory(method, rtol, stellarator_cfg,
     _assert_walk(omegas, golden, rtol)
 
 
+@pytest.mark.slow
 def test_jax_stellarator_em_trajectory(stellarator_cfg, trajectories):
     """The JAX dense path walks the stellarator TraceSecant sequence at its
     panel-quadrature tolerance (the 17-step walk amplifies the static-mesh
