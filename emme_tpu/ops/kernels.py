@@ -42,24 +42,46 @@ def panel_preset(real_dtype) -> dict:
     return dict(PANEL_PRESETS[jnp.dtype(real_dtype).name])
 
 
-# |eta - eta'| tier table for assembly: (upper bound, panel-count scale).
+# |eta - eta'| tier table for assembly: (upper bound, per-tier mesh spec).
 # The integrand's resolution demand is set by the Gaussian turn-on at
-# t ~ q R |d_eta| / vt: the NEAR pairs need the full mesh, while for
-# |d_eta| >= 0.6 a half mesh and for >= 8 a quarter mesh already beat the
-# reference's 1e-6 acceptance criterion by >10x (measured against the f64
-# dense mesh at the tokamak golden omega; the runtime quadrature_guard
-# re-checks every run).  At L = 20, n = 1024 this cuts integrand work to
-# ~37% (3% of pairs full + 33% half + 64% quarter).
-TIER_TABLE = ((0.6, 1.0), (8.0, 0.5), (float("inf"), 0.25))
+# t ~ q R |d_eta| / vt.  Round-5 AUTO-TUNED per-tier panel counts
+# (benchmarks/tune_panels.py): minimal (n_shoulder, n_osc, n_tail)
+# satisfying the reference acceptance criterion err <= max(accuracy,
+# precision |I|) with >= 2x margin, measured as DIRECT deviation from the
+# f64 dense mesh over the (|d_eta|, omega-basin) envelope of BOTH canonical
+# cases.  The tuned split shifts panels shoulder-ward with |d_eta| (the
+# turn-on sharpens) -- the old scale-based table (0.5x / 0.25x of the base)
+# had it backwards: its quarter mesh deviated up to 6e-4 ABSOLUTE (600x the
+# tokamak threshold) on far pairs at the GOLDEN omega, tolerated only
+# because those entries are tiny and their errors average out in the
+# eigenvalue.  The tuned table is ~10% cheaper AND within threshold
+# everywhere (margins 0.27 / 0.09 / 0.02 for the three far tiers).  A
+# per-tier order-7 pure-Gauss sweep measured as a LOSS (the integrand
+# rewards high per-panel order; see tune_panels.py) -- the quadrature is at
+# its cost frontier, so no further assembly factor hides here.
+# Spec: scale float (legacy) or frozen (key, value) tuple of panel counts.
+TIER_TABLE = (
+    (0.6, 1.0),
+    (8.0, (("n_osc", 12), ("n_shoulder", 6), ("n_tail", 1))),
+    (16.0, (("n_osc", 4), ("n_shoulder", 4), ("n_tail", 1))),
+    (float("inf"), (("n_osc", 4), ("n_shoulder", 6), ("n_tail", 1))),
+)
 
 
-def scaled_quad(quad, real_dtype, scale: float) -> dict:
-    """Panel-count preset scaled by ``scale`` (tier meshes)."""
+def scaled_quad(quad, real_dtype, spec) -> dict:
+    """Per-tier panel mesh: ``spec`` is a scale float (legacy: every panel
+    count multiplied) or a frozen (key, value) tuple of EXPLICIT panel
+    counts (the auto-tuned TIER_TABLE form; non-count keys like ``order``
+    still come from ``quad``/the preset)."""
     base = panel_preset(real_dtype)
     if quad:
         base.update(quad)
-    return {k: (max(1, int(round(v * scale))) if k.startswith("n_") else v)
-            for k, v in base.items()}
+    if isinstance(spec, (int, float)):
+        return {k: (max(1, int(round(v * spec))) if k.startswith("n_")
+                    else v) for k, v in base.items()}
+    out = dict(base)
+    out.update(dict(spec))
+    return out
 
 
 def tier_thresholds_ij(dx: float, npoints: int, table=TIER_TABLE) -> tuple:

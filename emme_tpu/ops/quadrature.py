@@ -20,6 +20,26 @@ import jax.numpy as jnp
 # Standard Gauss-Kronrod abscissae (non-negative half) and weights.
 # K15 (embedded G7) and K31 (embedded G15), as published in QUADPACK.
 _GK = {
+    # 7-point PURE Gauss-Legendre (no embedded estimate: wg == wk, so the
+    # "embedded error" is identically zero).  Used only for far |d_eta|
+    # TIER meshes, whose accuracy is validated by direct deviation against
+    # the dense mesh (benchmarks/tune_panels.py), never by the embedded
+    # estimate.
+    7: {
+        "abscissa": np.array([
+            0.0,
+            0.40584515137739717,
+            0.74153118559939444,
+            0.94910791234275852,
+        ]),
+        "gauss_weight": np.array([]),
+        "kronrod_weight": np.array([
+            0.41795918367346939,
+            0.38183005050511894,
+            0.27970539148927667,
+            0.12948496616886969,
+        ]),
+    },
     15: {
         "abscissa": np.array([
             0.0,
@@ -114,6 +134,9 @@ def gk_rule(order: int):
     n_half = len(half)
     x = np.concatenate([-half[:0:-1], half])  # ascending, odd length
     wk = np.concatenate([d["kronrod_weight"][:0:-1], d["kronrod_weight"]])
+
+    if order == 7:   # pure Gauss rule: no embedded estimate (wg == wk)
+        return x, wk, wk.copy()
 
     # Gauss points sit at every *odd-indexed* abscissa of the half rule
     # (index 1, 3, 5, ... counting the centre as 0) for K15/K31; plus the

