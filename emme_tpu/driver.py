@@ -294,14 +294,30 @@ def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
     fields = None
     with section("PIC run"):
         if mesh is not None:
-            if adaptive or cfg.get("pic_timers"):
+            if adaptive:
+                # adaptive stays host-driven by design (embedded-error dt
+                # control needs per-step host decisions); run it unsharded
                 raise ValueError("mesh-sharded PIC does not support "
-                                 "time_step_adaptive / pic_timers")
+                                 "time_step_adaptive (host-driven dt "
+                                 "control); drop the mesh for adaptive "
+                                 "runs")
             from .parallel import sharded
             with mesh:
-                state, stats = sharded.pic_sharded_run(
-                    p, mpc, nt, dt, mesh, key=key)
-                stats = fetch(stats)
+                if cfg.get("pic_timers"):
+                    # per-phase sections, sharded (r5: the mesh path keeps
+                    # the observability surface)
+                    stats, state, fields = sharded.pic_sharded_run_timed(
+                        p, mpc, nt, dt, mesh, key=key,
+                        record_fields=matrix_file is not None)
+                elif stream:
+                    stats, state = sharded.pic_sharded_run_streaming(
+                        p, mpc, nt, dt, mesh, matrix_file, key=key,
+                        chunk_steps=int(cfg.get("stream_chunk_steps", 16)))
+                    stats = np.asarray(stats)
+                else:
+                    state, stats = sharded.pic_sharded_run(
+                        p, mpc, nt, dt, mesh, key=key)
+                    stats = fetch(stats)
         elif adaptive:
             times, stats, state = pic.run_adaptive(
                 p, mpc, nt * dt, dt, key=key,

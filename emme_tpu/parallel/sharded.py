@@ -322,6 +322,126 @@ def pic_sharded_step(p, mesh: Mesh, qn_coef, state, dt):
                      out_specs=marker_spec)(state)
 
 
+_PIC_SHARD_JIT: dict = {}
+
+
+def _pic_sharded_fns(p_key, mesh):
+    """Cached jitted sharded-PIC helpers (prepare, full-step, stage-split
+    phases for the timed variant, stats)."""
+    key = (id(mesh), p_key)
+    if key not in _PIC_SHARD_JIT:
+        marker_spec = pic_mod.PICState(
+            eta=P("rows"), v_para=P("rows"), v_perp=P("rows"),
+            weight=P("rows"), omega_dv=P("rows"), omega_st=P("rows"),
+            p_weight=P("rows"), j0=P("rows"), dc_pb=P("rows"),
+            field=P(None))
+
+        def vel_fn(p, s):
+            return shard_map(lambda st: pic_mod.put_velocity(p, st),
+                             mesh=mesh, in_specs=(marker_spec,),
+                             out_specs=P("rows"))(s)
+
+        def upd_fn(p, s, combo, sub_dt, qn):
+            def body(st, cb):
+                reduce = partial(jax.lax.psum, axis_name="rows")
+                return pic_mod.update(p, st, cb, sub_dt, qn,
+                                      density_reduce=reduce)
+            return shard_map(body, mesh=mesh,
+                             in_specs=(marker_spec, P("rows")),
+                             out_specs=marker_spec)(s, combo)
+
+        _PIC_SHARD_JIT[key] = (jax.jit(vel_fn),
+                               jax.jit(upd_fn),
+                               jax.jit(lambda f: pic_mod.field_stats(f)))
+    return _PIC_SHARD_JIT[key]
+
+
+def pic_sharded_run_timed(p, marker_per_cell, n_steps, dt, mesh, key=None,
+                          record_fields: bool = False):
+    """Observability variant of ``pic_sharded_run``: host-driven step loop
+    with the reference's per-phase timer sections ("Particle Pushing",
+    "Field Solve", "Diagnostics"; solver_pic.h:127-155) around separately
+    jitted SHARDED phases -- markers stay sharded over ``rows``, deposition
+    still psums (VERDICT r4 next-round #8: the mesh path used to drop the
+    observability surface).  Returns (stats, final state, fields|None)."""
+    import numpy as np
+
+    from ..utils.timer import section
+    from ..utils.transfer import fetch
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    dtype = jnp.asarray(p.length).dtype
+    vel_fn, upd_fn, stats_fn = _pic_sharded_fns(
+        (marker_per_cell, jnp.dtype(dtype).name), mesh)
+
+    with section("Initial"):
+        s, qn = jax.jit(lambda k: (
+            pic_mod.init_state(p, marker_per_cell, k, dtype=dtype),
+            pic_mod.quasi_neutrality_coef(p, dtype=dtype)))(key)
+        jax.block_until_ready(s.eta)
+
+    coef = pic_mod.RK_COEF
+    stats_l, fields_l = [], []
+    for _ in range(n_steps):
+        v = []
+        for stage in range(3):
+            with section("Particle Pushing"):
+                v.append(vel_fn(p, s))
+                jax.block_until_ready(v[-1])
+            combo = sum(float(coef[stage][k]) * x for k, x in enumerate(v))
+            with section("Field Solve"):
+                s = upd_fn(p, s, combo, float(coef[stage][stage + 1]) * dt,
+                           qn)
+                jax.block_until_ready(s.field)
+        with section("Diagnostics"):
+            stats_l.append(np.asarray(fetch(stats_fn(s.field))))
+            if record_fields:
+                fields_l.append(fetch(s.field))
+    stats = np.stack(stats_l)
+    fields = np.stack(fields_l) if record_fields else None
+    return stats, s, fields
+
+
+def pic_sharded_run_streaming(p, marker_per_cell, n_steps, dt, mesh,
+                              stream_path, key=None, chunk_steps: int = 16):
+    """``pic_sharded_run`` with per-step field dumps STREAMED to disk
+    during the run (main.cpp:105-110 parity under the mesh): the time loop
+    runs as jitted chunk_steps-long sharded scan segments; after each
+    segment the (replicated) fields are fetched, appended, and fsynced.
+    Returns (stats (n_steps, 3), final state)."""
+    import os
+
+    import numpy as np
+
+    from ..utils.transfer import fetch
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    dtype = jnp.asarray(p.length).dtype
+    s, qn = jax.jit(lambda k: (
+        pic_mod.init_state(p, marker_per_cell, k, dtype=dtype),
+        pic_mod.quasi_neutrality_coef(p, dtype=dtype)))(key)
+
+    @partial(jax.jit, static_argnames=("length",))
+    def segment(s, length):
+        def body(st, _):
+            st = pic_sharded_step(p, mesh, qn, st, dt)
+            return st, (pic_mod.field_stats(st.field), st.field)
+        return jax.lax.scan(body, s, None, length=length)
+
+    stats_l = []
+    with open(stream_path, "wb") as f:
+        done = 0
+        while done < n_steps:
+            k = min(chunk_steps, n_steps - done)
+            s, (stats, fields) = segment(s, length=k)
+            fetch(fields).astype(np.complex128).tofile(f)
+            f.flush()
+            os.fsync(f.fileno())
+            stats_l.append(np.asarray(fetch(stats)))
+            done += k
+    return np.concatenate(stats_l), s
+
+
 def pic_sharded_run(p, marker_per_cell, n_steps, dt, mesh, key=None):
     key = key if key is not None else jax.random.PRNGKey(0)
     dtype = jnp.asarray(p.length).dtype

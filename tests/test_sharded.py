@@ -102,3 +102,35 @@ def test_pic_sharded_matmul_deposit_under_shard_map(tokamak_cfg):
     f1 = np.asarray(s_single.field)
     f2 = np.asarray(s_shard.field)
     assert np.abs(f1 - f2).max() < 1e-10 * (np.abs(f1).max() + 1e-30)
+
+
+def test_pic_sharded_timed_and_streaming(tmp_path, tokamak_cfg):
+    """Mesh PIC keeps the observability surface (VERDICT r4 #8):
+    pic_timers and stream_fields work sharded and match the plain sharded
+    run's statistics."""
+    from emme_tpu import driver
+    from emme_tpu.utils.timer import Timer
+
+    base = dict(tokamak_cfg, method="PIC", npoints=32, marker_per_cell=16,
+                step_number=4, mesh={"rows": 2})
+    out_plain = driver.run(dict(base, stream_fields=False),
+                           output_dir=tmp_path / "a", verbose=False,
+                           checkpoint=False)
+    out_timed = driver.run(dict(base, pic_timers=True, stream_fields=False),
+                           output_dir=tmp_path / "b", verbose=False,
+                           checkpoint=False)
+    out_stream = driver.run(dict(base),   # stream_fields defaults on
+                            output_dir=tmp_path / "c", verbose=False,
+                            checkpoint=False)
+    evs = [o["result"]["(None)"]["scan_result"][0]["eigenvalue"]
+           for o in (out_plain, out_timed, out_stream)]
+    assert evs[0] == pytest.approx(evs[1], rel=1e-6)
+    assert evs[0] == pytest.approx(evs[2], rel=1e-6)
+    # the streamed dump exists and holds n_steps fields
+    dump = tmp_path / "c" / "eigenMatrics" / "eigenMatrix.bin"
+    data = np.fromfile(dump, dtype=np.complex128)
+    assert data.size == 4 * 32
+    # the timed run recorded the reference's PIC sections
+    t = Timer.get_timer()
+    assert any("Particle Pushing" in k for k in t._acc)
+    assert any("Field Solve" in k for k in t._acc)
