@@ -66,18 +66,12 @@ _PRECISIONS = {
 _P_L, _P_CW, _P_VT, _P_BT, _P_SHAT, _P_ODB, _P_QR, _P_SUBDT, _P_I2CW = range(9)
 
 
-def _build_table_stack(field, G):
-    """(G*8, 128) gather-table stack from the complex field (nf,):
-    channels [f, f(+1), g, g(+1)] x (re, im), g the centered difference
-    numerator f[c+1] - f[c-1] (the /2cw lands in the kernel)."""
-    g = jnp.roll(field, -1) - jnp.roll(field, 1)
-    fp = jnp.roll(field, -1)
-    gp = jnp.roll(g, -1)
-    table = jnp.stack([jnp.real(field), jnp.imag(field),
-                       jnp.real(fp), jnp.imag(fp),
-                       jnp.real(g), jnp.imag(g),
-                       jnp.real(gp), jnp.imag(gp)], axis=-1)
-    return table.reshape(G, 128, 8).transpose(0, 2, 1).reshape(G * 8, 128)
+def _stats_from_planes(fr, fi):
+    """field_stats on (G, 128) real planes (main.cpp:111-118)."""
+    re = fr.reshape(-1)
+    im = fi.reshape(-1)
+    return jnp.stack([re.mean(), im.mean(),
+                      jnp.sqrt((re * re + im * im).mean())])
 
 
 def _stage_kernel(stage: int, first: bool, dc: bool, G: int, nf: int,
@@ -92,12 +86,13 @@ def _stage_kernel(stage: int, first: bool, dc: bool, G: int, nf: int,
     # stage 0: combo = 1.0 v0 ; stage 1: combo = 1.0 v1 ;
     # stage 2: combo = 1.5220.. v1 - 0.5220.. v2   (solver_pic.h:466-470)
 
-    def kernel(params, ts_ref, eta_ref, vpar_ref, vperp_ref, wre_ref,
-               wim_ref, odv_ref, ost_ref, pw_ref, *rest):
+    def kernel(params, fr_ref, fi_ref, qn_ref, eta_ref, vpar_ref,
+               vperp_ref, wre_ref, wim_ref, odv_ref, ost_ref, pw_ref,
+               *rest):
         if has_prev:
             vpre_ref, vpim_ref = rest[0], rest[1]
             rest = rest[2:]
-        velre_o, velim_o, eta_o, wre_o, wim_o, y_ref = rest
+        velre_o, velim_o, eta_o, wre_o, wim_o, y_ref, fro, fio = rest
 
         L = params[0, _P_L]
         cw = params[0, _P_CW]
@@ -122,8 +117,30 @@ def _stage_kernel(stage: int, first: bool, dc: bool, G: int, nf: int,
         hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
         lo = jnp.bitwise_and(idx, jnp.int32(127))
 
-        # ---- CIC gather: per sublane row, one-hot(lo) against the stack --
-        ts = ts_ref[:]                                   # (G*8, 128)
+        # ---- gather table, built IN-KERNEL from the field planes ----
+        # (kills the per-stage XLA table-build fragments; the (G, 128)
+        # layout is row-major over cells, so cell c+1 is lane+1 with a
+        # wrap onto the next row's lane 0)
+        fr = fr_ref[:]
+        fi = fi_ref[:]
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
+
+        def shift_p1(a):
+            # pltpu.roll takes non-negative shifts: -1 == size-1
+            nxt = pltpu.roll(a, G - 1, 0)
+            return jnp.where(lane2 == 127, nxt[:, 0:1],
+                             pltpu.roll(a, 127, 1))
+
+        def shift_m1(a):
+            prv = pltpu.roll(a, 1, 0)
+            return jnp.where(lane2 == 0, prv[:, 127:128],
+                             pltpu.roll(a, 1, 1))
+
+        fpr, fpi = shift_p1(fr), shift_p1(fi)
+        gr_, gi_ = fpr - shift_m1(fr), fpi - shift_m1(fi)
+        gpr, gpi = shift_p1(gr_), shift_p1(gi_)
+        ts = jnp.stack([fr, fi, fpr, fpi, gr_, gi_, gpr, gpi],
+                       axis=1).reshape(G * 8, 128)
         rows = [[] for _ in range(8)]                    # 8 channels
         for s in range(8):
             lo_s = lo[s:s + 1, :]                        # (1, NB)
@@ -248,6 +265,14 @@ def _stage_kernel(stage: int, first: bool, dc: bool, G: int, nf: int,
             y_ref[:] = jnp.zeros_like(y_ref)
         y_ref[:] += acc
 
+        # ---- quasi-neutrality field solve, IN-KERNEL ----
+        # y_ref is complete only at the LAST program; every program writes
+        # the field planes and the sequential grid makes the last write the
+        # complete one (solver_pic.h:350-353)
+        y = y_ref[:]
+        fro[:] = (y[0:G] + y[2 * G:3 * G]) * qn_ref[:]
+        fio[:] = (y[G:2 * G] + y[3 * G:4 * G]) * qn_ref[:]
+
     return kernel
 
 
@@ -260,18 +285,19 @@ def _stage_call(stage: int, first: bool, dc: bool, G: int, nf: int, NB: int,
 
     blk = lambda i: (0, i)
     marker_spec = pl.BlockSpec((8, NB), blk, memory_space=pltpu.VMEM)
+    grid_spec = lambda rows: pl.BlockSpec((rows, 128), lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM)
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec((G * 8, 128), lambda i: (0, 0),
-                        memory_space=pltpu.VMEM)]
+        + [grid_spec(G)] * 3                      # field planes + qn
         + [marker_spec] * n_in)
     out_specs = (
         [marker_spec] * 5
-        + [pl.BlockSpec((4 * G, 128), lambda i: (0, 0),
-                        memory_space=pltpu.VMEM)])
+        + [grid_spec(4 * G), grid_spec(G), grid_spec(G)])
     NM = NB * n_blocks
     out_shape = ([jax.ShapeDtypeStruct((8, NM), jnp.float32)] * 5
-                 + [jax.ShapeDtypeStruct((4 * G, 128), jnp.float32)])
+                 + [jax.ShapeDtypeStruct((4 * G, 128), jnp.float32)]
+                 + [jax.ShapeDtypeStruct((G, 128), jnp.float32)] * 2)
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -328,32 +354,31 @@ class _FusedStep:
             vals = vals.at[0, k].set(jnp.asarray(v, jnp.float32))
         return vals, jnp.asarray(dt, jnp.float32)
 
-    def step(self, p, arrs, field, qn_coef, dt, first: bool = False):
+    def step(self, p, arrs, field, qn2d, dt, first: bool = False):
         """One RK3 step on the (8, m/8)-viewed marker arrays.
 
         ``arrs``: dict with eta, v_para, v_perp, w_re, w_im, odv, ost, pw.
-        Returns (new arrs, new field (complex (nf,)))."""
+        ``field``: (fr, fi) planes shaped (G, 128); ``qn2d``: the
+        quasi-neutrality coefficient reshaped (G, 128).  The step is
+        EXACTLY three pallas_calls -- the gather table and the field solve
+        live inside the kernel.  Returns (new arrs, new field planes)."""
         base, dtf = self.params_vec(p, dt)
+        fr, fi = field
         vel_prev = None
         for stage in range(3):
             sub_dt = float(RK_COEF[stage][stage + 1]) * dtf
             params = base.at[0, _P_SUBDT].set(sub_dt)
-            ts = _build_table_stack(field, self.G)
-            ins = [params, ts, arrs["eta"], arrs["v_para"], arrs["v_perp"],
-                   arrs["w_re"], arrs["w_im"], arrs["odv"], arrs["ost"],
-                   arrs["pw"]]
+            ins = [params, fr, fi, qn2d, arrs["eta"], arrs["v_para"],
+                   arrs["v_perp"], arrs["w_re"], arrs["w_im"], arrs["odv"],
+                   arrs["ost"], arrs["pw"]]
             if stage == 2:
                 ins += [vel_prev[0], vel_prev[1]]
             call = self._call(stage, first and stage == 0)
-            velr, veli, eta_n, wre_n, wim_n, Y = call(*ins)
+            velr, veli, eta_n, wre_n, wim_n, _Y, fr, fi = call(*ins)
             if stage == 1:
                 vel_prev = (velr, veli)
             arrs = dict(arrs, eta=eta_n, w_re=wre_n, w_im=wim_n)
-            # Y rows: [left_re x G, left_im x G, right_re x G, right_im x G]
-            Y4 = Y.reshape(4, self.nf)
-            den = (Y4[0] + Y4[2]) + 1j * (Y4[1] + Y4[3])
-            field = den * qn_coef
-        return arrs, field
+        return arrs, (fr, fi)
 
 
 def state_to_arrs(s: PICState):
@@ -398,29 +423,34 @@ def _run_fns(fs: "_FusedStep", marker_per_cell: int, n_steps: int):
     key = (fs.nf, fs.NB, fs.n_blocks, fs.dc, fs.precision, fs.interpret,
            marker_per_cell, n_steps)
     if key not in _RUN_JIT_CACHE:
+        G = fs.G
+
         @jax.jit
         def prepare(p, key):
             s0 = init_state(p, marker_per_cell, key, dtype=jnp.float32)
             qn = quasi_neutrality_coef(p, dtype=jnp.float32)
-            return state_to_arrs(s0), s0.field, qn
+            field = (jnp.real(s0.field).reshape(G, 128),
+                     jnp.imag(s0.field).reshape(G, 128))
+            return state_to_arrs(s0), field, qn.reshape(G, 128)
 
         @jax.jit
         def first_step(p, arrs, field, qn, dt):
             arrs, field = fs.step(p, arrs, field, qn, dt, first=True)
-            return arrs, field, field_stats(field)
+            return arrs, field, _stats_from_planes(*field)
 
         @jax.jit
         def rest(p, arrs, field, qn, dt):
             def body(carry, _):
                 arrs, field = carry
                 arrs, field = fs.step(p, arrs, field, qn, dt, first=False)
-                return (arrs, field), field_stats(field)
+                return (arrs, field), _stats_from_planes(*field)
 
             (arrs, field), stats = jax.lax.scan(
                 body, (arrs, field), None, length=n_steps - 1)
             return arrs, field, stats
 
-        finish = jax.jit(lambda p, a, f: arrs_to_state(p, a, f))
+        finish = jax.jit(lambda p, a, f: arrs_to_state(
+            p, a, (f[0] + 1j * f[1]).reshape(-1)))
         _RUN_JIT_CACHE[key] = (prepare, first_step, rest, finish)
     return _RUN_JIT_CACHE[key]
 
