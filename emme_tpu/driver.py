@@ -380,7 +380,8 @@ def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
                 from .solvers import pallas_pic
                 stats, state, fields = pallas_pic.run(
                     p, mpc, nt, dt, key=key,
-                    precision=cfg.get("pic_precision", "default"))
+                    precision=cfg.get("pic_precision", "default"),
+                    launch=cfg.get("pic_launch", "auto"))
             else:
                 # run_jitted: the eager composition is not runnable on the
                 # TPU backend (eager complex ops unimplemented) and would

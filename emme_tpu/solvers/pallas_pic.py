@@ -74,6 +74,77 @@ def _stats_from_planes(fr, fi):
                       jnp.sqrt((re * re + im * im).mean())])
 
 
+def _gather_table(fr, fi, G):
+    """Build the 8-channel gather table stack (G*8, 128) from the (G, 128)
+    field planes.  The layout is row-major over cells, so cell c+1 is
+    lane+1 with a wrap onto the next row's lane 0."""
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
+
+    def shift_p1(a):
+        # pltpu.roll takes non-negative shifts: -1 == size-1
+        nxt = pltpu.roll(a, G - 1, 0)
+        return jnp.where(lane2 == 127, nxt[:, 0:1],
+                         pltpu.roll(a, 127, 1))
+
+    def shift_m1(a):
+        prv = pltpu.roll(a, 1, 0)
+        return jnp.where(lane2 == 0, prv[:, 127:128],
+                         pltpu.roll(a, 1, 1))
+
+    fpr, fpi = shift_p1(fr), shift_p1(fi)
+    gr_, gi_ = fpr - shift_m1(fr), fpi - shift_m1(fi)
+    gpr, gpi = shift_p1(gr_), shift_p1(gi_)
+    return jnp.stack([fr, fi, fpr, fpi, gr_, gi_, gpr, gpi],
+                     axis=1).reshape(G * 8, 128)
+
+
+def _gather_channels(ts, hi, lo, G, NB, prec):
+    """CIC gather of the 8 table channels at (hi, lo) cell indices:
+    the 128-wide lo one-hot contracts on the MXU, hi-groups resolve with
+    VPU selects.  Returns 8 (8, NB) channel arrays."""
+    rows = [[] for _ in range(8)]                    # 8 channels
+    for s in range(8):
+        lo_s = lo[s:s + 1, :]                        # (1, NB)
+        hi_s = hi[s:s + 1, :]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (128, NB), 0)
+        oh = jnp.where(lanes == lo_s, 1.0, 0.0).astype(jnp.float32)
+        A = jax.lax.dot_general(                     # (G*8, NB)
+            ts, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (G * 8, NB), 0)
+        grp = jax.lax.shift_right_logical(rowid, jnp.int32(3))  # row // 8
+        B = jnp.where(grp == hi_s, A, 0.0)
+        Gs = jnp.sum(B.reshape(G, 8, NB), axis=0)    # (8ch, NB)
+        for c in range(8):
+            rows[c].append(Gs[c:c + 1, :])
+    return [jnp.concatenate(r, axis=0) for r in rows]  # 8 x (8, NB)
+
+
+def _deposit_acc(denr, deni, w2l, w2, hi2, lo2, hir, lor, G, NB, prec):
+    """CIC deposition of (denr, deni) at the left/right CIC nodes via the
+    transposed "NT" dot; returns the (4G, 128) partial accumulation."""
+    acc = jnp.zeros((4 * G, 128), jnp.float32)
+    for s in range(8):
+        parts = []
+        for node, (hh, ll, wt) in enumerate(
+                ((hi2, lo2, w2l), (hir, lor, w2))):
+            vr = (denr * wt)[s:s + 1, :]
+            vi = (deni * wt)[s:s + 1, :]
+            hs = hh[s:s + 1, :]
+            rows_v = [jnp.where(hs == h, vr, 0.0) for h in range(G)] \
+                + [jnp.where(hs == h, vi, 0.0) for h in range(G)]
+            V = jnp.concatenate(rows_v, axis=0)      # (2G, NB)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (128, NB), 0)
+            oh = jnp.where(lanes == ll[s:s + 1, :], 1.0, 0.0) \
+                .astype(jnp.float32)
+            Y = jax.lax.dot_general(                 # (2G, 128)
+                V, oh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            parts.append(Y)
+        acc = acc + jnp.concatenate(parts, axis=0)
+    return acc
+
+
 def _stage_kernel(stage: int, first: bool, dc: bool, G: int, nf: int,
                   NB: int, prec):
     """Kernel body for RK stage ``stage``.  Static: stage index (selects the
@@ -118,46 +189,10 @@ def _stage_kernel(stage: int, first: bool, dc: bool, G: int, nf: int,
         lo = jnp.bitwise_and(idx, jnp.int32(127))
 
         # ---- gather table, built IN-KERNEL from the field planes ----
-        # (kills the per-stage XLA table-build fragments; the (G, 128)
-        # layout is row-major over cells, so cell c+1 is lane+1 with a
-        # wrap onto the next row's lane 0)
-        fr = fr_ref[:]
-        fi = fi_ref[:]
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
-
-        def shift_p1(a):
-            # pltpu.roll takes non-negative shifts: -1 == size-1
-            nxt = pltpu.roll(a, G - 1, 0)
-            return jnp.where(lane2 == 127, nxt[:, 0:1],
-                             pltpu.roll(a, 127, 1))
-
-        def shift_m1(a):
-            prv = pltpu.roll(a, 1, 0)
-            return jnp.where(lane2 == 0, prv[:, 127:128],
-                             pltpu.roll(a, 1, 1))
-
-        fpr, fpi = shift_p1(fr), shift_p1(fi)
-        gr_, gi_ = fpr - shift_m1(fr), fpi - shift_m1(fi)
-        gpr, gpi = shift_p1(gr_), shift_p1(gi_)
-        ts = jnp.stack([fr, fi, fpr, fpi, gr_, gi_, gpr, gpi],
-                       axis=1).reshape(G * 8, 128)
-        rows = [[] for _ in range(8)]                    # 8 channels
-        for s in range(8):
-            lo_s = lo[s:s + 1, :]                        # (1, NB)
-            hi_s = hi[s:s + 1, :]
-            lanes = jax.lax.broadcasted_iota(jnp.int32, (128, NB), 0)
-            oh = jnp.where(lanes == lo_s, 1.0, 0.0).astype(jnp.float32)
-            A = jax.lax.dot_general(                     # (G*8, NB)
-                ts, oh, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
-            rowid = jax.lax.broadcasted_iota(jnp.int32, (G * 8, NB), 0)
-            grp = jax.lax.shift_right_logical(rowid, jnp.int32(3))  # row // 8
-            B = jnp.where(grp == hi_s, A, 0.0)
-            Gs = jnp.sum(B.reshape(G, 8, NB), axis=0)    # (8ch, NB)
-            for c in range(8):
-                rows[c].append(Gs[c:c + 1, :])
-        ch = [jnp.concatenate(r, axis=0) for r in rows]  # 8 x (8, NB)
-        f0r, f0i, f1r, f1i, g0r, g0i, g1r, g1i = ch
+        # (kills the per-stage XLA table-build fragments)
+        ts = _gather_table(fr_ref[:], fi_ref[:], G)
+        f0r, f0i, f1r, f1i, g0r, g0i, g1r, g1i = \
+            _gather_channels(ts, hi, lo, G, NB, prec)
 
         wl = 1.0 - wgt
         phir = wl * f0r + wgt * f1r
@@ -240,25 +275,8 @@ def _stage_kernel(stage: int, first: bool, dc: bool, G: int, nf: int,
             deni = j0n * wim_n
 
         w2l = 1.0 - w2
-        acc = jnp.zeros((4 * G, 128), jnp.float32)
-        for s in range(8):
-            parts = []
-            for node, (hh, ll, wt) in enumerate(
-                    ((hi2, lo2, w2l), (hir, lor, w2))):
-                vr = (denr * wt)[s:s + 1, :]
-                vi = (deni * wt)[s:s + 1, :]
-                hs = hh[s:s + 1, :]
-                rows_v = [jnp.where(hs == h, vr, 0.0) for h in range(G)] \
-                    + [jnp.where(hs == h, vi, 0.0) for h in range(G)]
-                V = jnp.concatenate(rows_v, axis=0)      # (2G, NB)
-                lanes = jax.lax.broadcasted_iota(jnp.int32, (128, NB), 0)
-                oh = jnp.where(lanes == ll[s:s + 1, :], 1.0, 0.0) \
-                    .astype(jnp.float32)
-                Y = jax.lax.dot_general(                 # (2G, 128)
-                    V, oh, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec)
-                parts.append(Y)
-            acc = acc + jnp.concatenate(parts, axis=0)
+        acc = _deposit_acc(denr, deni, w2l, w2, hi2, lo2, hir, lor,
+                           G, NB, prec)
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -314,7 +332,7 @@ class _FusedStep:
     """Per-(p-static, shapes) compiled fused RK3 step."""
 
     def __init__(self, p, m: int, dt, precision: str = "default",
-                 interpret: bool | None = None):
+                 interpret: bool | None = None, min_blocks: int = 1):
         nf = int(p.npoints)
         if nf % 128:
             raise ValueError(f"fused PIC needs npoints % 128 == 0, got {nf}")
@@ -324,10 +342,18 @@ class _FusedStep:
         self.G = nf // 128
         NM = m // 8
         NB = NM
+        # largest lane block; with min_blocks > 1 (the single-launch path's
+        # alias-carry precondition) prefer the largest block that still
+        # yields that many grid blocks
         for cand in (8192, 4096, 2048, 1024, 512, 256, 128):
-            if NM % cand == 0:
+            if NM % cand == 0 and NM // cand >= min_blocks:
                 NB = cand
                 break
+        else:
+            for cand in (8192, 4096, 2048, 1024, 512, 256, 128):
+                if NM % cand == 0:
+                    NB = cand
+                    break
         self.NB = NB
         self.n_blocks = NM // NB
         self.dc = bool(p.drift_center_transformation_switch)
@@ -411,6 +437,224 @@ def arrs_to_state(p, arrs, field) -> PICState:
         j0=j0, dc_pb=dc_pb, field=field)
 
 
+def _mega_kernel(dc: bool, G: int, nf: int, NB: int, n_blocks: int, prec):
+    """Single-launch kernel body: the WHOLE PIC run as one pallas_call with
+    grid (n_steps, 3, n_blocks).  Marker state (eta, weight, stage
+    velocity) carries between grid steps through the aliased in/out HBM
+    buffers (input_output_aliases): the block written at (stage, i) is
+    re-fetched at (stage+1, i) n_blocks grid steps later, after its output
+    flush has completed (validated for n_blocks >= 3 on hardware by
+    tests/test_pallas_pic.py::test_alias_carry_semantics; the caller
+    enforces >= _MIN_MEGA_BLOCKS).  The field double-buffers in VMEM
+    scratch: the stage at linear index t = 3*step + stage reads plane
+    buffer t%2 (the one the previous stage completed) and writes (t+1)%2
+    progressively, last block's write being the complete field
+    (solver_pic.h:350-353).  Per-step field stats (main.cpp:111-118) are
+    computed in-kernel at the last program of each step's stage 2."""
+
+    def kernel(consts, stab, fr_in, fi_in, qn_ref,
+               eta_ref, vpar_ref, vperp_ref, wre_ref, wim_ref,
+               odv_ref, ost_ref, pw_ref, velre_ref, velim_ref,
+               eta_o, wre_o, wim_o, velre_o, velim_o, fro, fio, stats_ref,
+               fa_r, fa_i, fb_r, fb_i, y_ref):
+        step = pl.program_id(0)
+        stage = pl.program_id(1)
+        i = pl.program_id(2)
+        t = step * 3 + stage
+        even = jax.lax.rem(t, jnp.int32(2)) == 0
+        first = (t == 0)          # reference j0-zero-init (solver_pic.h:34-47)
+
+        L = consts[0, _P_L]
+        cw = consts[0, _P_CW]
+        vt = consts[0, _P_VT]
+        bt = consts[0, _P_BT]
+        shat = consts[0, _P_SHAT]
+        odb = consts[0, _P_ODB]
+        qR = consts[0, _P_QR]
+        i2cw = consts[0, _P_I2CW]
+        sub_dt = stab[stage, 0]
+        c_prev = stab[stage, 1]   # 0, 0, RK_COEF[2][1]
+        c_cur = stab[stage, 2]    # 1, 1, RK_COEF[2][2]
+
+        eta = eta_ref[:]
+        vpar = vpar_ref[:]
+        vperp = vperp_ref[:]
+        odv = odv_ref[:]
+
+        # ---- locate at current eta (solver_pic.h:96-104) ----
+        x = (eta + L) / cw
+        idxf = jnp.floor(x)
+        wgt = x - idxf
+        idx = jnp.clip(idxf.astype(jnp.int32), 0, nf - 1)
+        hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
+        lo = jnp.bitwise_and(idx, jnp.int32(127))
+
+        # ---- field select: t == 0 reads the initial planes; afterwards
+        # the buffer the previous stage completed ----
+        fr = jnp.where(first, fr_in[:], jnp.where(even, fa_r[:], fb_r[:]))
+        fi = jnp.where(first, fi_in[:], jnp.where(even, fa_i[:], fb_i[:]))
+        ts = _gather_table(fr, fi, G)
+        f0r, f0i, f1r, f1i, g0r, g0i, g1r, g1i = \
+            _gather_channels(ts, hi, lo, G, NB, prec)
+
+        wl = 1.0 - wgt
+        phir = wl * f0r + wgt * f1r
+        phii = wl * f0i + wgt * f1i
+        dphir = (wl * g0r + wgt * g1r) * i2cw
+        dphii = (wl * g0i + wgt * g1i) * i2cw
+
+        # ---- marker physics (solver_pic.h:82-140); the first-stage
+        # j0 == 0 quirk is a traced select here ----
+        x_perp = vperp / vt
+        sb = jnp.sqrt(bt * (1.0 + (shat * eta) ** 2))
+        dj0 = -bt * (shat * shat) * x_perp * eta * bessel_j1(x_perp * sb) / sb
+        omega_d = odb * (jnp.cos(eta) + shat * eta * jnp.sin(eta))
+        j0 = jnp.where(first, 0.0, bessel_j0(x_perp * sb))
+        if dc:
+            odi = (qR / vpar) * odb * (jnp.sin(eta) * (1.0 + shat)
+                                       - shat * eta * jnp.cos(eta))
+            ph = odi * odv
+            dcr = jnp.where(first, 0.0, jnp.cos(ph))
+            dci = jnp.where(first, 0.0, -jnp.sin(ph))
+
+        a = ost_ref[:] - omega_d * odv
+        vq = vpar / qR
+        comr = -a * j0 * phii - vq * (j0 * dphir + dj0 * phir)
+        comi = a * j0 * phir - vq * (j0 * dphii + dj0 * phii)
+        pw = pw_ref[:]
+        if dc:
+            velr = pw * (dcr * comr + dci * comi)
+            veli = pw * (dcr * comi - dci * comr)
+        else:
+            b = omega_d * odv
+            velr = wim_ref[:] * b + pw * comr
+            veli = -wre_ref[:] * b + pw * comi
+
+        # ---- RK combo + update; vel carry read BEFORE the overwrite.
+        # c_prev == 0 except stage 2, where velre_ref holds stage 1's
+        # velocity for this block (solver_pic.h:142-151, 425-435) ----
+        combor = c_prev * velre_ref[:] + c_cur * velr
+        comboi = c_prev * velim_ref[:] + c_cur * veli
+        velre_o[:] = velr
+        velim_o[:] = veli
+        eta_n = eta + vpar * (sub_dt / qR)
+        m = eta_n + L
+        eta_n = m - 2.0 * L * jnp.floor(m / (2.0 * L)) - L
+        wre_n = wre_ref[:] + combor * sub_dt
+        wim_n = wim_ref[:] + comboi * sub_dt
+        eta_o[:] = eta_n
+        wre_o[:] = wre_n
+        wim_o[:] = wim_n
+
+        # ---- deposition at eta_n (solver_pic.h:249-354) ----
+        x2 = (eta_n + L) / cw
+        i2f = jnp.floor(x2)
+        w2 = x2 - i2f
+        idx2 = jnp.clip(i2f.astype(jnp.int32), 0, nf - 1)
+        idxr = idx2 + 1
+        idxr = jnp.where(idxr >= nf, 0, idxr)
+        hi2 = jax.lax.shift_right_logical(idx2, jnp.int32(7))
+        lo2 = jnp.bitwise_and(idx2, jnp.int32(127))
+        hir = jax.lax.shift_right_logical(idxr, jnp.int32(7))
+        lor = jnp.bitwise_and(idxr, jnp.int32(127))
+
+        sbn = jnp.sqrt(bt * (1.0 + (shat * eta_n) ** 2))
+        j0n = bessel_j0(x_perp * sbn)
+        if dc:
+            odin = (qR / vpar) * odb * (jnp.sin(eta_n) * (1.0 + shat)
+                                        - shat * eta_n * jnp.cos(eta_n))
+            phn = odin * odv
+            dnr = jnp.cos(phn)
+            dni = -jnp.sin(phn)
+            denr = j0n * (wre_n * dnr - wim_n * dni)
+            deni = j0n * (wre_n * dni + wim_n * dnr)
+        else:
+            denr = j0n * wre_n
+            deni = j0n * wim_n
+
+        acc = _deposit_acc(denr, deni, 1.0 - w2, w2, hi2, lo2, hir, lor,
+                           G, NB, prec)
+
+        @pl.when(i == 0)
+        def _():
+            y_ref[:] = jnp.zeros_like(y_ref)
+        y_ref[:] += acc
+
+        # ---- quasi-neutrality field solve, written to the NEXT buffer;
+        # only the last block's write (complete y) is ever read ----
+        y = y_ref[:]
+        qn = qn_ref[:]
+        nfr = (y[0:G] + y[2 * G:3 * G]) * qn
+        nfi = (y[G:2 * G] + y[3 * G:4 * G]) * qn
+
+        @pl.when(even)
+        def _():
+            fb_r[:] = nfr
+            fb_i[:] = nfi
+
+        @pl.when(jnp.logical_not(even))
+        def _():
+            fa_r[:] = nfr
+            fa_i[:] = nfi
+
+        fro[:] = nfr
+        fio[:] = nfi
+
+        # ---- per-step stats at the end of stage 2 (main.cpp:111-118) ----
+        @pl.when((stage == 2) & (i == n_blocks - 1))
+        def _():
+            inv = 1.0 / float(nf)
+            re_m = jnp.sum(nfr) * inv
+            im_m = jnp.sum(nfi) * inv
+            nrm = jnp.sqrt(jnp.sum(nfr * nfr + nfi * nfi) * inv)
+            stats_ref[pl.ds(step, 1), :] = \
+                jnp.stack([re_m, im_m, nrm]).reshape(1, 3)
+
+    return kernel
+
+
+_MIN_MEGA_BLOCKS = 4   # alias-carry needs the output flush to clear the
+                       # pipeline before the re-fetch (probe: >= 3 is safe)
+
+
+def _mega_call(dc: bool, G: int, nf: int, NB: int, n_blocks: int,
+               n_steps: int, precision: str):
+    prec = _PRECISIONS[precision]
+    kernel = _mega_kernel(dc, G, nf, NB, n_blocks, prec)
+    NM = NB * n_blocks
+
+    blk = lambda s, st, i: (0, i)
+    marker_spec = pl.BlockSpec((8, NB), blk, memory_space=pltpu.VMEM)
+    plane = lambda rows: pl.BlockSpec((rows, 128), lambda s, st, i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2   # consts, stage table
+        + [plane(G)] * 3                              # fr_in, fi_in, qn
+        + [marker_spec] * 10)                         # markers + vel carry
+    out_specs = (
+        [marker_spec] * 5                             # eta, wre, wim, vel
+        + [plane(G)] * 2                              # final field planes
+        + [pl.BlockSpec((n_steps, 3), lambda s, st, i: (0, 0),
+                        memory_space=pltpu.VMEM)])    # per-step stats
+    out_shape = ([jax.ShapeDtypeStruct((8, NM), jnp.float32)] * 5
+                 + [jax.ShapeDtypeStruct((G, 128), jnp.float32)] * 2
+                 + [jax.ShapeDtypeStruct((n_steps, 3), jnp.float32)])
+    return pl.pallas_call(
+        kernel,
+        grid=(n_steps, 3, n_blocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        # carry: eta, w_re, w_im, vel_re, vel_im flow through the aliased
+        # HBM buffers (inputs 5, 8, 9, 13, 14 -> outputs 0..4)
+        input_output_aliases={5: 0, 8: 1, 9: 2, 13: 3, 14: 4},
+        scratch_shapes=[pltpu.VMEM((G, 128), jnp.float32)] * 4
+        + [pltpu.VMEM((4 * G, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+
 _RUN_JIT_CACHE: dict = {}
 
 
@@ -455,22 +699,91 @@ def _run_fns(fs: "_FusedStep", marker_per_cell: int, n_steps: int):
     return _RUN_JIT_CACHE[key]
 
 
+def _mega_run_fns(fs: "_FusedStep", marker_per_cell: int, n_steps: int):
+    """Jitted prepare / single-launch run / finish for the mega kernel."""
+    key = ("mega", fs.nf, fs.NB, fs.n_blocks, fs.dc, fs.precision,
+           marker_per_cell, n_steps)
+    if key not in _RUN_JIT_CACHE:
+        G = fs.G
+        call = _mega_call(fs.dc, G, fs.nf, fs.NB, fs.n_blocks, n_steps,
+                          fs.precision)
+
+        @jax.jit
+        def prepare(p, key):
+            s0 = init_state(p, marker_per_cell, key, dtype=jnp.float32)
+            qn = quasi_neutrality_coef(p, dtype=jnp.float32)
+            field = (jnp.real(s0.field).reshape(G, 128),
+                     jnp.imag(s0.field).reshape(G, 128))
+            return state_to_arrs(s0), field, qn.reshape(G, 128)
+
+        @jax.jit
+        def whole_run(p, arrs, field, qn, dt):
+            base, dtf = fs.params_vec(p, dt)
+            stab = jnp.array(
+                [[float(RK_COEF[0][1]), 0.0, float(RK_COEF[0][0])],
+                 [float(RK_COEF[1][2]), 0.0, float(RK_COEF[1][1])],
+                 [float(RK_COEF[2][3]), float(RK_COEF[2][1]),
+                  float(RK_COEF[2][2])]], jnp.float32)
+            stab = stab.at[:, 0].mul(dtf)     # sub_dt per stage
+            z = jnp.zeros_like(arrs["eta"])
+            eta, wre, wim, _vr, _vi, fr, fi, stats = call(
+                base, stab, field[0], field[1], qn,
+                arrs["eta"], arrs["v_para"], arrs["v_perp"],
+                arrs["w_re"], arrs["w_im"], arrs["odv"], arrs["ost"],
+                arrs["pw"], z, z)
+            return dict(arrs, eta=eta, w_re=wre, w_im=wim), (fr, fi), stats
+
+        finish = jax.jit(lambda p, a, f: arrs_to_state(
+            p, a, (f[0] + 1j * f[1]).reshape(-1)))
+        _RUN_JIT_CACHE[key] = (prepare, whole_run, finish)
+    return _RUN_JIT_CACHE[key]
+
+
 def run(p, marker_per_cell: int, n_steps: int, dt, key=None,
-        precision: str = "default", interpret: bool | None = None):
+        precision: str = "default", interpret: bool | None = None,
+        launch: str = "auto"):
     """Full PIC run on the fused Pallas path.  Same contract as ``pic.run``
     (stats (n_steps, 3), final state, None); the reference trajectory is the
     XLA path (``pic.run``) -- equivalence validated in
-    tests/test_pallas_pic.py."""
+    tests/test_pallas_pic.py.
+
+    ``launch``: "single" runs the ENTIRE time loop as one pallas_call
+    (grid (n_steps, 3, n_blocks); per-launch overhead amortized away);
+    "stages" launches one kernel per RK stage under lax.scan; "auto"
+    (default) picks "single" whenever its alias-carry preconditions hold
+    (compiled mode, n_blocks >= 4 -- see _mega_kernel)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     dtype = jnp.asarray(p.length).dtype
     if dtype != jnp.float32:
         raise ValueError("fused PIC is f32-only (Pallas TPU kernel)")
+    if launch not in ("auto", "single", "stages"):
+        raise ValueError(f"launch must be auto|single|stages, got {launch}")
     m = marker_per_cell * p.npoints
-    fs = _FusedStep(p, m, dt, precision=precision, interpret=interpret)
-    prepare, first_step, rest, finish = _run_fns(fs, marker_per_cell,
-                                                 n_steps)
+    interp = interpret_default() if interpret is None else interpret
+    want_mega = launch in ("auto", "single") and not interp
+    fs = _FusedStep(p, m, dt, precision=precision, interpret=interp,
+                    min_blocks=_MIN_MEGA_BLOCKS if want_mega else 1)
+
+    # interpret mode executes grid steps against the ORIGINAL input
+    # buffers (no alias carry), so the mega kernel is compiled-only
+    mega_ok = (not fs.interpret) and fs.n_blocks >= _MIN_MEGA_BLOCKS \
+        and n_steps >= 1
+    if launch == "single" and not mega_ok:
+        raise ValueError(
+            "launch='single' needs compiled (non-interpret) mode and "
+            f"markers/8/NB >= {_MIN_MEGA_BLOCKS} blocks "
+            f"(got interpret={fs.interpret}, n_blocks={fs.n_blocks})")
 
     dtf = jnp.asarray(dt, jnp.float32)
+    if launch == "single" or (launch == "auto" and mega_ok):
+        prepare, whole_run, finish = _mega_run_fns(fs, marker_per_cell,
+                                                   n_steps)
+        arrs, field, qn = prepare(p, key)
+        arrs, field, stats = whole_run(p, arrs, field, qn, dtf)
+        return stats, finish(p, arrs, field), None
+
+    prepare, first_step, rest, finish = _run_fns(fs, marker_per_cell,
+                                                 n_steps)
     arrs, field, qn = prepare(p, key)
     arrs, field, st0 = first_step(p, arrs, field, qn, dtf)
     arrs, field, sts = rest(p, arrs, field, qn, dtf)

@@ -90,6 +90,30 @@ def test_driver_fused_backend(tmp_path, tokamak_cfg):
     assert ev_f == pytest.approx(ev_x, rel=1e-3)
 
 
+def test_single_launch_guard(tokamak_cfg):
+    """launch='single' (the whole run as ONE pallas_call) is compiled-only:
+    interpret mode has no alias carry between grid steps, so requesting it
+    there fails clearly, and launch='auto' falls back to per-stage
+    launches (hardware parity: benchmarks/validate_mega_pic.py)."""
+    from emme_tpu.solvers import pallas_pic
+
+    cfg = dict(tokamak_cfg)
+    cfg["npoints"] = 128
+    p = emme_tpu.from_config(cfg, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="single"):
+        pallas_pic.run(p, 8, 2, 0.25, launch="single", interpret=True)
+    with pytest.raises(ValueError, match="launch"):
+        pallas_pic.run(p, 8, 2, 0.25, launch="nope", interpret=True)
+    # auto in interpret mode = the per-stage path, same trajectory
+    sa, _, _ = pallas_pic.run(p, 8, 2, 0.25, key=jax.random.PRNGKey(3),
+                              launch="auto", interpret=True,
+                              precision="highest")
+    sb, _, _ = pallas_pic.run(p, 8, 2, 0.25, key=jax.random.PRNGKey(3),
+                              launch="stages", interpret=True,
+                              precision="highest")
+    assert np.abs(np.asarray(sa) - np.asarray(sb)).max() == 0.0
+
+
 def test_driver_fused_guard(tmp_path, tokamak_cfg):
     """Explicit pic_backend='fused' with unmet requirements fails clearly."""
     from emme_tpu import driver
