@@ -616,6 +616,35 @@ def _mega_kernel(dc: bool, G: int, nf: int, NB: int, n_blocks: int, prec):
 _MIN_MEGA_BLOCKS = 4   # alias-carry needs the output flush to clear the
                        # pipeline before the re-fetch (probe: >= 3 is safe)
 
+_ALIAS_CARRY_OK: bool | None = None
+
+
+def _alias_carry_selfcheck() -> bool:
+    """One-time probe that the runtime still gives sequential semantics to
+    aliased in/out blocks revisited across grid steps -- the behavior the
+    mega kernel is built on (empirical, not a documented contract; see
+    benchmarks/validate_mega_pic.py).  A silent regression here would
+    corrupt the physics, so the first mega run per process pays one tiny
+    (persistently cached) compile to turn that into a loud signal."""
+    global _ALIAS_CARRY_OK
+    if _ALIAS_CARRY_OK is None:
+        S, nblk, NB = 4, _MIN_MEGA_BLOCKS, 128
+
+        def kernel(x_ref, y_ref):
+            y_ref[:] = x_ref[:] * 2.0
+
+        f = pl.pallas_call(
+            kernel, grid=(S, nblk),
+            in_specs=[pl.BlockSpec((8, NB), lambda s, i: (0, i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((8, NB), lambda s, i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, nblk * NB), jnp.float32),
+            input_output_aliases={0: 0})
+        y = jax.jit(f)(jnp.ones((8, nblk * NB), jnp.float32))
+        _ALIAS_CARRY_OK = bool(jnp.all(y == 2.0 ** S))
+    return _ALIAS_CARRY_OK
+
 
 def _mega_call(dc: bool, G: int, nf: int, NB: int, n_blocks: int,
                n_steps: int, precision: str):
@@ -773,6 +802,14 @@ def run(p, marker_per_cell: int, n_steps: int, dt, key=None,
             "launch='single' needs compiled (non-interpret) mode and "
             f"markers/8/NB >= {_MIN_MEGA_BLOCKS} blocks "
             f"(got interpret={fs.interpret}, n_blocks={fs.n_blocks})")
+    if mega_ok and not _alias_carry_selfcheck():
+        if launch == "single":
+            raise RuntimeError(
+                "single-launch PIC disabled: this runtime no longer gives "
+                "sequential semantics to aliased in/out blocks across grid "
+                "steps (alias-carry probe failed; see "
+                "benchmarks/validate_mega_pic.py)")
+        mega_ok = False   # auto: quietly use the per-stage launches
 
     dtf = jnp.asarray(dt, jnp.float32)
     if launch == "single" or (launch == "auto" and mega_ok):
