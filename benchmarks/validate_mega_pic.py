@@ -27,28 +27,6 @@ sys.path.insert(0, str(REPO))
 import numpy as np
 
 
-def probe_alias(S=6, nblk=4, NB=256):
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    def kernel(x_ref, y_ref):
-        y_ref[:] = x_ref[:] * 2.0
-
-    f = pl.pallas_call(
-        kernel, grid=(S, nblk),
-        in_specs=[pl.BlockSpec((8, NB), lambda s, i: (0, i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((8, NB), lambda s, i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, nblk * NB), jnp.float32),
-        input_output_aliases={0: 0})
-    y = jax.jit(f)(jnp.ones((8, nblk * NB), jnp.float32))
-    vals = np.unique(np.asarray(y))
-    return vals.tolist() == [2.0 ** S], vals
-
-
 def parity(npoints, mpc, n_steps, precision):
     import jax
     import jax.numpy as jnp
@@ -61,18 +39,21 @@ def parity(npoints, mpc, n_steps, precision):
     cfg["npoints"] = npoints
     p = emme_tpu.from_config(cfg, dtype=jnp.float32)
     key = jax.random.PRNGKey(3)
-    t0 = time.time()
-    s_st, fin_st, _ = pallas_pic.run(p, mpc, n_steps, 0.25, key=key,
-                                     precision=precision, launch="stages",
-                                     interpret=False)
-    s_st = np.asarray(s_st)
-    t_st = time.time() - t0
-    t0 = time.time()
-    s_mg, fin_mg, _ = pallas_pic.run(p, mpc, n_steps, 0.25, key=key,
-                                     precision=precision, launch="single",
-                                     interpret=False)
-    s_mg = np.asarray(s_mg)
-    t_mg = time.time() - t0
+
+    def timed(launch):
+        # warm-up compiles first so the reported seconds are kernel time
+        np.asarray(pallas_pic.run(p, mpc, n_steps, 0.25, key=key,
+                                  precision=precision, launch=launch,
+                                  interpret=False)[0])
+        t0 = time.time()
+        s, fin, _ = pallas_pic.run(p, mpc, n_steps, 0.25, key=key,
+                                   precision=precision, launch=launch,
+                                   interpret=False)
+        s = np.asarray(s)
+        return s, fin, time.time() - t0
+
+    s_st, fin_st, t_st = timed("stages")
+    s_mg, fin_mg, t_mg = timed("single")
     d_stats = np.abs(s_st - s_mg).max() / np.abs(s_st).max()
     d_state = {}
     for name in ("eta", "weight", "field"):
@@ -89,12 +70,13 @@ def main():
     if jax.default_backend() in ("cpu",):
         print("needs a TPU backend; skipping")
         return
-    from emme_tpu.solvers.pallas_pic import _MIN_MEGA_BLOCKS
+    from emme_tpu.solvers.pallas_pic import (_MIN_MEGA_BLOCKS,
+                                             alias_carry_probe)
 
     print("== alias-carry probe ==")
-    ok_at_min, _ = probe_alias(nblk=_MIN_MEGA_BLOCKS)
+    ok_at_min, _ = alias_carry_probe(nblk=_MIN_MEGA_BLOCKS)
     for nblk in (1, 2, 3, 4, 16):
-        ok, vals = probe_alias(nblk=nblk)
+        ok, vals = alias_carry_probe(nblk=nblk)
         print(f"  n_blocks={nblk:2d}: {'sequential' if ok else 'STALE'}"
               f"  (values {vals})")
     assert ok_at_min, (

@@ -344,16 +344,14 @@ class _FusedStep:
         NB = NM
         # largest lane block; with min_blocks > 1 (the single-launch path's
         # alias-carry precondition) prefer the largest block that still
-        # yields that many grid blocks
-        for cand in (8192, 4096, 2048, 1024, 512, 256, 128):
-            if NM % cand == 0 and NM // cand >= min_blocks:
-                NB = cand
+        # yields that many grid blocks, falling back to the unconstrained
+        # search if NM is too small to split
+        for mb in dict.fromkeys((min_blocks, 1)):
+            got = next((c for c in (8192, 4096, 2048, 1024, 512, 256, 128)
+                        if NM % c == 0 and NM // c >= mb), None)
+            if got is not None:
+                NB = got
                 break
-        else:
-            for cand in (8192, 4096, 2048, 1024, 512, 256, 128):
-                if NM % cand == 0:
-                    NB = cand
-                    break
         self.NB = NB
         self.n_blocks = NM // NB
         self.dc = bool(p.drift_center_transformation_switch)
@@ -444,8 +442,9 @@ def _mega_kernel(dc: bool, G: int, nf: int, NB: int, n_blocks: int, prec):
     buffers (input_output_aliases): the block written at (stage, i) is
     re-fetched at (stage+1, i) n_blocks grid steps later, after its output
     flush has completed (validated for n_blocks >= 3 on hardware by
-    tests/test_pallas_pic.py::test_alias_carry_semantics; the caller
-    enforces >= _MIN_MEGA_BLOCKS).  The field double-buffers in VMEM
+    benchmarks/validate_mega_pic.py and guarded at runtime by
+    ``_alias_carry_selfcheck``; the caller enforces >= _MIN_MEGA_BLOCKS).
+    The field double-buffers in VMEM
     scratch: the stage at linear index t = 3*step + stage reads plane
     buffer t%2 (the one the previous stage completed) and writes (t+1)%2
     progressively, last block's write being the complete field
@@ -619,6 +618,32 @@ _MIN_MEGA_BLOCKS = 4   # alias-carry needs the output flush to clear the
 _ALIAS_CARRY_OK: bool | None = None
 
 
+def alias_carry_probe(S: int = 4, nblk: int = _MIN_MEGA_BLOCKS,
+                      NB: int = 128):
+    """Probe whether the runtime gives sequential semantics to aliased
+    in/out blocks revisited across grid steps: every program doubles its
+    block, so after S stages the output is x * 2**S iff the (s, i) write
+    is visible to the (s+1, i) re-fetch.  Returns (ok, unique_values).
+    Shared by the runtime self-check and benchmarks/validate_mega_pic.py
+    so the load-bearing probe cannot drift between them."""
+    import numpy as np
+
+    def kernel(x_ref, y_ref):
+        y_ref[:] = x_ref[:] * 2.0
+
+    f = pl.pallas_call(
+        kernel, grid=(S, nblk),
+        in_specs=[pl.BlockSpec((8, NB), lambda s, i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, NB), lambda s, i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, nblk * NB), jnp.float32),
+        input_output_aliases={0: 0})
+    y = jax.jit(f)(jnp.ones((8, nblk * NB), jnp.float32))
+    vals = np.unique(np.asarray(y))
+    return vals.tolist() == [2.0 ** S], vals
+
+
 def _alias_carry_selfcheck() -> bool:
     """One-time probe that the runtime still gives sequential semantics to
     aliased in/out blocks revisited across grid steps -- the behavior the
@@ -628,21 +653,7 @@ def _alias_carry_selfcheck() -> bool:
     (persistently cached) compile to turn that into a loud signal."""
     global _ALIAS_CARRY_OK
     if _ALIAS_CARRY_OK is None:
-        S, nblk, NB = 4, _MIN_MEGA_BLOCKS, 128
-
-        def kernel(x_ref, y_ref):
-            y_ref[:] = x_ref[:] * 2.0
-
-        f = pl.pallas_call(
-            kernel, grid=(S, nblk),
-            in_specs=[pl.BlockSpec((8, NB), lambda s, i: (0, i),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((8, NB), lambda s, i: (0, i),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((8, nblk * NB), jnp.float32),
-            input_output_aliases={0: 0})
-        y = jax.jit(f)(jnp.ones((8, nblk * NB), jnp.float32))
-        _ALIAS_CARRY_OK = bool(jnp.all(y == 2.0 ** S))
+        _ALIAS_CARRY_OK = alias_carry_probe()[0]
     return _ALIAS_CARRY_OK
 
 
@@ -754,12 +765,19 @@ def _mega_run_fns(fs: "_FusedStep", marker_per_cell: int, n_steps: int):
                  [float(RK_COEF[2][3]), float(RK_COEF[2][1]),
                   float(RK_COEF[2][2])]], jnp.float32)
             stab = stab.at[:, 0].mul(dtf)     # sub_dt per stage
-            z = jnp.zeros_like(arrs["eta"])
+            # the vel-carry init values are only ever multiplied by
+            # c_prev == 0 before stage 1 overwrites them, so any finite
+            # values work -- make the two DISTINGUISHABLE (zeros vs ones)
+            # so no CSE/buffer-sharing can ever collapse the two aliased
+            # operands onto one buffer (which would clobber the re/im
+            # velocity carry)
+            vz_re = jnp.zeros_like(arrs["eta"])
+            vz_im = jnp.ones_like(arrs["eta"])
             eta, wre, wim, _vr, _vi, fr, fi, stats = call(
                 base, stab, field[0], field[1], qn,
                 arrs["eta"], arrs["v_para"], arrs["v_perp"],
                 arrs["w_re"], arrs["w_im"], arrs["odv"], arrs["ost"],
-                arrs["pw"], z, z)
+                arrs["pw"], vz_re, vz_im)
             return dict(arrs, eta=eta, w_re=wre, w_im=wim), (fr, fi), stats
 
         finish = jax.jit(lambda p, a, f: arrs_to_state(
@@ -809,7 +827,10 @@ def run(p, marker_per_cell: int, n_steps: int, dt, key=None,
                 "sequential semantics to aliased in/out blocks across grid "
                 "steps (alias-carry probe failed; see "
                 "benchmarks/validate_mega_pic.py)")
-        mega_ok = False   # auto: quietly use the per-stage launches
+        mega_ok = False   # auto: quietly use the per-stage launches,
+        # rebuilt without the mega block-count constraint (min_blocks
+        # would otherwise shrink NB and quadruple the stage grid)
+        fs = _FusedStep(p, m, dt, precision=precision, interpret=interp)
 
     dtf = jnp.asarray(dt, jnp.float32)
     if launch == "single" or (launch == "auto" and mega_ok):
