@@ -266,6 +266,8 @@ def solve_once_pic(cfg: dict, omega_guess: complex, matrix_file=None,
     'xla': the hand-fused Pallas marker kernel -- default on TPU for
     f32 / npoints%128==0 runs -- vs the XLA chain), ``pic_precision``
     ('default' | 'high' | 'highest' MXU passes in the fused kernel),
+    ``pic_launch`` ('auto' | 'single' | 'stages': the whole time loop as
+    ONE pallas_call vs one call per RK stage; see solvers/pallas_pic.py),
     ``gather_method`` ('take' | 'matmul'), ``deposit_method`` ('segment' |
     'matmul'), ``pic_timers``
     (per-phase Particle Pushing / Field Solve / Diagnostics sections via a
