@@ -100,6 +100,50 @@ def main():
         "steps_per_s": round(N_STEPS / wall, 2),
     }), flush=True)
 
+    # ---- variant: the marker pass on the fused Pallas stage kernels ----
+    # (same dataflow: the PIC gather reads what the SpMV wrote; the RK3
+    # step is three pallas_calls on (8, m/8)-viewed markers with the field
+    # riding (G, 128) planes)
+    if not on_tpu:
+        return
+    from emme_tpu.solvers import pallas_pic
+
+    G = p.npoints // 128
+    fs = pallas_pic._FusedStep(p, p.npoints * mpc, 0.25, interpret=False)
+    arrs0 = jax.jit(lambda s: pallas_pic.state_to_arrs(s))(s0)
+    qn2d = qn.reshape(G, 128).astype(jnp.float32)
+    f0 = (jnp.real(s0.field).reshape(G, 128).astype(jnp.float32),
+          jnp.imag(s0.field).reshape(G, 128).astype(jnp.float32))
+
+    @partial(jax.jit, static_argnums=3)
+    def coupled_fused(M, arrs, field, n_steps):
+        def body(carry, _):
+            arrs, (fr2, fi2) = carry
+            fr, fi = bdia_matvec(M, fr2.reshape(-1), fi2.reshape(-1))
+            nrm = jnp.sqrt(jnp.sum(fr * fr + fi * fi)) + 1e-30
+            field = ((fr / nrm).reshape(G, 128).astype(jnp.float32),
+                     (fi / nrm).reshape(G, 128).astype(jnp.float32))
+            arrs, field = fs.step(p, arrs, field, qn2d, 0.25)
+            st = jnp.stack([field[0].mean(), field[1].mean(), jnp.sqrt(
+                (field[0] ** 2 + field[1] ** 2).mean())])
+            return (arrs, field), st
+        (arrs, field), stats = jax.lax.scan(body, (arrs, field), None,
+                                            length=n_steps)
+        return stats
+
+    np.asarray(coupled_fused(M, arrs0, f0, N_STEPS))  # compile + warm
+    t0 = time.time()
+    stats = np.asarray(coupled_fused(M, arrs0, f0, N_STEPS))
+    wall = time.time() - t0
+    assert np.isfinite(stats).all()
+    print(json.dumps({
+        "metric": "coupled_spmv_plus_pic_step_fused",
+        "n": p.npoints, "markers": p.npoints * mpc,
+        "nnz": int(M.nnz), "steps": N_STEPS,
+        "value": round(wall / N_STEPS * 1e3, 3), "unit": "ms/step",
+        "steps_per_s": round(N_STEPS / wall, 2),
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()
