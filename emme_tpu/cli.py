@@ -60,21 +60,22 @@ def main(argv=None):
         ap.error("--mesh-scan requires --mesh-rows (use --mesh-rows 1 for "
                  "a pure scan-parallel topology)")
 
-    # the topology may come from the CLI or the input JSON "mesh" key;
-    # either way a CPU mesh needs virtual devices, and the XLA flag must be
-    # set before jax initializes (ADVICE r4: the JSON-sourced topology used
-    # to skip this and die later with 'needs N devices')
-    rows, scan = args.mesh_rows, args.mesh_scan
-    if rows is None:
-        try:
-            import json
-            with open(args.input) as f:
-                mesh_cfg = json.load(f).get("mesh") or {}
-            rows = int(mesh_cfg.get("rows", 1))
-            scan = int(mesh_cfg.get("scan", 1))
-        except Exception:
-            rows, scan = 1, 1   # driver.run reports input errors properly
-    need = (rows or 1) * (scan or 1)
+    # the topology may come from the CLI or the input JSON "mesh" key, or a
+    # MIX (CLI rows + JSON scan) -- replicate driver.run's per-axis merge
+    # exactly, because a CPU mesh needs virtual devices and the XLA flag
+    # must be set before jax initializes (ADVICE r4: the JSON-sourced
+    # topology used to skip this and die later with 'needs N devices')
+    try:
+        import json
+        with open(args.input) as f:
+            mesh_cfg = json.load(f).get("mesh") or {}
+    except Exception:
+        mesh_cfg = {}   # driver.run reports input errors properly
+    rows = args.mesh_rows if args.mesh_rows is not None \
+        else mesh_cfg.get("rows")
+    scan = args.mesh_scan if args.mesh_scan is not None \
+        else mesh_cfg.get("scan", 1)
+    need = int(rows or 1) * int(scan or 1)
     import os
     if need > 1 and args.device != "tpu":
         flags = os.environ.get("XLA_FLAGS", "")

@@ -19,6 +19,7 @@ wavefront batches (see ``_run_scan_parallel``).
 from __future__ import annotations
 
 import concurrent.futures
+import itertools
 import json
 import math
 import os
@@ -491,12 +492,13 @@ def _run_scan_parallel(solver, input_cfg, key, spec, guess, outdir, done,
         with lock:
             done[ck] = res
             snapshot = dict(done)  # shallow: completed entries are not mutated
+            seq = record_ckpt.next_seq()   # ordered WITH the snapshot
             if verbose:
                 print(f"    {key}:{value}  ->  {res.get('eigenvalue')}")
         # serialize OUTSIDE the lock: dumping full eigenvectors for every
         # completed point is O(scan), and doing it under the global lock
         # would serialize all workers on I/O
-        record_ckpt(snapshot)
+        record_ckpt(snapshot, seq)
         return i, value, res
 
     results = []
@@ -650,15 +652,32 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
 
     scan_config = {k: v for k, v in input_cfg.items() if _is_scan_spec(v)}
 
-    def record_ckpt(snapshot=None):
+    ckpt_seq = itertools.count()
+    ckpt_written = [-1]
+    ckpt_write_lock = threading.Lock()
+
+    def record_ckpt(snapshot=None, seq=None):
         if checkpoint:
             data = done if snapshot is None else snapshot
             # atomic replace: concurrent writers (scan_workers > 1) can't
-            # interleave partial JSON in the checkpoint file
+            # interleave partial JSON in the checkpoint file.  The O(scan)
+            # json.dump stays outside any lock; only the replace is ordered
+            # by ``seq`` (taken under the caller's lock with the snapshot)
+            # so a slow worker's OLDER snapshot can never overwrite a newer
+            # checkpoint -- that would drop completed entries and force
+            # their re-solve on resume
             tmp = ckpt_path.with_suffix(f".tmp{threading.get_ident()}")
             with open(tmp, "w") as f:
                 json.dump(data, f)
-            os.replace(tmp, ckpt_path)
+            with ckpt_write_lock:
+                if seq is not None and seq <= ckpt_written[0]:
+                    os.remove(tmp)   # stale snapshot lost the race
+                    return
+                os.replace(tmp, ckpt_path)
+                if seq is not None:
+                    ckpt_written[0] = seq
+
+    record_ckpt.next_seq = lambda: next(ckpt_seq)
 
     shifts = input_cfg.get("shifts")
     if shifts is not None:
@@ -715,9 +734,10 @@ def run(input_cfg: dict | str | pathlib.Path, output_dir=".",
             with lock:
                 done[ck] = res
                 snapshot = dict(done)
+                seq = record_ckpt.next_seq()   # ordered WITH the snapshot
                 if verbose:
                     print(f"    shift {sig}  ->  {res.get('eigenvalue')}")
-            record_ckpt(snapshot)   # interrupted multi-shift runs resume
+            record_ckpt(snapshot, seq)   # interrupted multi-shift runs resume
             return res
 
         items = list(enumerate(sigmas))

@@ -72,15 +72,23 @@ def scaled_quad(quad, real_dtype, spec) -> dict:
     """Per-tier panel mesh: ``spec`` is a scale float (legacy: every panel
     count multiplied) or a frozen (key, value) tuple of EXPLICIT panel
     counts (the auto-tuned TIER_TABLE form; non-count keys like ``order``
-    still come from ``quad``/the preset)."""
+    still come from ``quad``/the preset).
+
+    A user/guard ``quad`` whose panel counts differ from the preset (e.g.
+    refine_quad's doubling) scales the tuple spec's counts by the same
+    per-key ratio -- otherwise quad_guard's 'refine' retry would re-solve
+    the flagged far-tier pairs on the identical tuned mesh."""
     base = panel_preset(real_dtype)
     if quad:
         base.update(quad)
     if isinstance(spec, (int, float)):
         return {k: (max(1, int(round(v * spec))) if k.startswith("n_")
                     else v) for k, v in base.items()}
+    preset = panel_preset(real_dtype)
     out = dict(base)
-    out.update(dict(spec))
+    for k, v in dict(spec).items():
+        factor = base.get(k, preset[k]) / preset[k]
+        out[k] = max(1, int(round(v * factor)))
     return out
 
 

@@ -375,9 +375,9 @@ def pic_sharded_run_timed(p, marker_per_cell, n_steps, dt, mesh, key=None,
         (marker_per_cell, jnp.dtype(dtype).name), mesh)
 
     with section("Initial"):
-        s, qn = jax.jit(lambda k: (
-            pic_mod.init_state(p, marker_per_cell, k, dtype=dtype),
-            pic_mod.quasi_neutrality_coef(p, dtype=dtype)))(key)
+        # shared cached prologue (pic._prepare_jit): a fresh jit-lambda per
+        # call would recompile init per run and embed p as a constant
+        s, qn = pic_mod._prepare_jit(marker_per_cell, dtype)(p, key)
         jax.block_until_ready(s.eta)
 
     coef = pic_mod.RK_COEF
@@ -417,9 +417,7 @@ def pic_sharded_run_streaming(p, marker_per_cell, n_steps, dt, mesh,
 
     key = key if key is not None else jax.random.PRNGKey(0)
     dtype = jnp.asarray(p.length).dtype
-    s, qn = jax.jit(lambda k: (
-        pic_mod.init_state(p, marker_per_cell, k, dtype=dtype),
-        pic_mod.quasi_neutrality_coef(p, dtype=dtype)))(key)
+    s, qn = pic_mod._prepare_jit(marker_per_cell, dtype)(p, key)
 
     @partial(jax.jit, static_argnames=("length",))
     def segment(s, length):
@@ -445,8 +443,7 @@ def pic_sharded_run_streaming(p, marker_per_cell, n_steps, dt, mesh,
 def pic_sharded_run(p, marker_per_cell, n_steps, dt, mesh, key=None):
     key = key if key is not None else jax.random.PRNGKey(0)
     dtype = jnp.asarray(p.length).dtype
-    s0 = pic_mod.init_state(p, marker_per_cell, key, dtype=dtype)
-    qn = pic_mod.quasi_neutrality_coef(p, dtype=dtype)
+    s0, qn = pic_mod._prepare_jit(marker_per_cell, dtype)(p, key)
 
     def body(s, _):
         s = pic_sharded_step(p, mesh, qn, s, dt)

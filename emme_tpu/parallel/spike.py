@@ -689,6 +689,7 @@ def solve(p, omega_init, mesh: Mesh, tol: float | None = None, quad=None,
         n_steps = 0
         d_prev, sc = float("inf"), 0
         for j in range(p.iteration_step_limit + 1):
+            prev = (M, dM, om_re, om_im)
             M, dM, om_re, om_im, dr, di = step(p, grid, coeff_band, M, dM,
                                                om_re, om_im)
             n_steps = j + 1
@@ -697,7 +698,11 @@ def solve(p, omega_init, mesh: Mesh, tol: float | None = None, quad=None,
             adw = abs(d_omega_new)
             if f32 and not (np.isfinite(adw)
                             and np.isfinite(abs(omega_new))):
-                break   # f32 floor blow-up: keep last good omega/state
+                # f32 floor blow-up: keep the last good omega AND roll the
+                # operator state back -- the post-step M/dM are assembled
+                # at the NaN omega and would poison the nullspace / polish
+                M, dM, om_re, om_im = prev
+                break
             d_omega, omega = d_omega_new, omega_new
             if adw < dev_tol * abs(omega):
                 break

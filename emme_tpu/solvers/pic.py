@@ -793,10 +793,12 @@ def run_timed(p, marker_per_cell: int, n_steps: int, dt, key=None,
         for stage in range(3):
             with section("Particle Pushing"):
                 v.append(vel_jit(s))
+                # float(): np.float64 tableau scalars would strong-type
+                # the whole state to f64/c128 under an x64-enabled config
                 combo = jax.tree_util.tree_map(
-                    lambda *xs: sum(RK_COEF[stage][k] * x
+                    lambda *xs: sum(float(RK_COEF[stage][k]) * x
                                     for k, x in enumerate(xs)), *v)
-                s = upd_jit(s, combo, RK_COEF[stage][stage + 1] * dt)
+                s = upd_jit(s, combo, float(RK_COEF[stage][stage + 1]) * dt)
                 jax.block_until_ready(s.weight)
             with section("Field Solve"):
                 s = field_jit(s)
